@@ -1,0 +1,24 @@
+"""aesmc_tpu: TPU-native auto-encoding sequential Monte Carlo.
+
+A from-scratch JAX/XLA/Pallas/pjit framework with the capabilities of the
+reference `aesmc` package (/root/reference/aesmc/__init__.py:1-7 re-exports
+losses, inference, statistics, train; state and math are importable).
+Extras beyond the reference: a native distribution library, pluggable
+resampling variants, mesh parallelism, checkpointing, and benchmarks.
+"""
+
+__version__ = "0.1.0"
+
+from . import distributions
+from . import inference
+from . import losses
+from . import math
+from . import resampling
+from . import state
+from . import statistics
+from . import train
+
+__all__ = [
+    "distributions", "inference", "losses", "math", "resampling", "state",
+    "statistics", "train", "__version__",
+]

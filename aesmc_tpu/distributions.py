@@ -1,0 +1,331 @@
+"""A small, TPU-first distribution library.
+
+The reference builds on `torch.distributions`
+(/root/reference/aesmc/state.py:61-155 consumes Distribution objects with
+`batch_shape` / `event_shape` / `rsample` / `log_prob`). Neither distrax nor
+TFP is a dependency here, so this module provides the needed distribution
+algebra natively in JAX:
+
+- distributions are immutable flax pytree dataclasses, so they can be
+  returned from `lax.cond` branches and flow through `jax.jit`;
+- sampling takes an explicit PRNG key (no global RNG - fixes the hidden
+  `np.random` dependence noted in SURVEY.md S2.4 item 8);
+- reparameterized distributions expose `rsample` (pathwise gradients), and
+  `has_rsample` mirrors the torch flag the reference checks at
+  /root/reference/aesmc/state.py:97-100.
+
+Shapes follow the torch/tfp convention:
+    sample(key, sample_shape) -> sample_shape + batch_shape + event_shape
+    log_prob(value)           -> broadcast(value batch dims, batch_shape)
+"""
+
+from __future__ import annotations
+
+import math as _stdmath
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+_HALF_LOG_2PI = 0.5 * _stdmath.log(2.0 * _stdmath.pi)
+
+
+def _shape(x) -> Tuple[int, ...]:
+    return tuple(jnp.shape(x))
+
+
+class Distribution:
+    """Mixin defining the distribution interface.
+
+    Concrete distributions are `flax.struct` dataclasses mixing this in.
+    `batch_shape_mode` is an optional static tag consumed by
+    `aesmc_tpu.state` (see state.set_batch_shape_mode), mirroring the
+    attribute the reference sets at /root/reference/aesmc/state.py:12-17.
+    """
+
+    has_rsample: bool = False
+
+    @property
+    def batch_shape(self) -> Tuple[int, ...]:
+        raise NotImplementedError
+
+    @property
+    def event_shape(self) -> Tuple[int, ...]:
+        return ()
+
+    def sample(self, key, sample_shape: Tuple[int, ...] = ()):
+        raise NotImplementedError
+
+    def rsample(self, key, sample_shape: Tuple[int, ...] = ()):
+        if not self.has_rsample:
+            raise ValueError(
+                f"{type(self).__name__} is not reparameterizable")
+        return self.sample(key, sample_shape)
+
+    def log_prob(self, value):
+        raise NotImplementedError
+
+
+@struct.dataclass
+class Normal(Distribution):
+    """Univariate normal, elementwise over broadcast(loc, scale)."""
+
+    loc: Any
+    scale: Any
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    has_rsample: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(_shape(self.loc), _shape(self.scale))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        loc = jnp.asarray(self.loc, dtype=jnp.result_type(float))
+        eps = jax.random.normal(key, shape, dtype=loc.dtype)
+        return loc + jnp.asarray(self.scale, dtype=loc.dtype) * eps
+
+    def log_prob(self, value):
+        loc = jnp.asarray(self.loc)
+        scale = jnp.asarray(self.scale)
+        z = (jnp.asarray(value) - loc) / scale
+        return -0.5 * z * z - jnp.log(scale) - _HALF_LOG_2PI
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(jnp.asarray(self.loc), self.batch_shape)
+
+    @property
+    def stddev(self):
+        return jnp.broadcast_to(jnp.asarray(self.scale), self.batch_shape)
+
+    @property
+    def variance(self):
+        return self.stddev ** 2
+
+
+@struct.dataclass
+class MultivariateNormalDiag(Distribution):
+    """Multivariate normal with diagonal covariance; event_shape = (D,)."""
+
+    loc: Any
+    scale_diag: Any
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    has_rsample: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def _param_shape(self):
+        return jnp.broadcast_shapes(_shape(self.loc), _shape(self.scale_diag))
+
+    @property
+    def batch_shape(self):
+        return self._param_shape[:-1]
+
+    @property
+    def event_shape(self):
+        return self._param_shape[-1:]
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self._param_shape
+        loc = jnp.asarray(self.loc, dtype=jnp.result_type(float))
+        eps = jax.random.normal(key, shape, dtype=loc.dtype)
+        return loc + jnp.asarray(self.scale_diag, dtype=loc.dtype) * eps
+
+    def log_prob(self, value):
+        loc = jnp.asarray(self.loc)
+        scale = jnp.asarray(self.scale_diag)
+        z = (jnp.asarray(value) - loc) / scale
+        return jnp.sum(-0.5 * z * z - jnp.log(scale) - _HALF_LOG_2PI, axis=-1)
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(jnp.asarray(self.loc), self._param_shape)
+
+
+@struct.dataclass
+class Independent(Distribution):
+    """Reinterprets rightmost batch dims of ``base`` as event dims.
+
+    Parity with torch.distributions.Independent, which reference users can
+    employ for factorized latents.
+    """
+
+    base: Any
+    reinterpreted_batch_ndims: int = struct.field(pytree_node=False)
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    @property
+    def has_rsample(self):
+        return self.base.has_rsample
+
+    @property
+    def batch_shape(self):
+        n = self.reinterpreted_batch_ndims
+        return self.base.batch_shape[:len(self.base.batch_shape) - n]
+
+    @property
+    def event_shape(self):
+        n = self.reinterpreted_batch_ndims
+        cut = len(self.base.batch_shape) - n
+        return self.base.batch_shape[cut:] + self.base.event_shape
+
+    def sample(self, key, sample_shape=()):
+        return self.base.sample(key, sample_shape)
+
+    def rsample(self, key, sample_shape=()):
+        return self.base.rsample(key, sample_shape)
+
+    def log_prob(self, value):
+        logp = self.base.log_prob(value)
+        n = self.reinterpreted_batch_ndims
+        if n == 0:
+            return logp
+        return jnp.sum(logp, axis=tuple(range(-n, 0)))
+
+
+@struct.dataclass
+class Categorical(Distribution):
+    """Categorical over the last axis of ``logits``. Not reparameterizable."""
+
+    logits: Any
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    has_rsample: bool = struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def from_probs(cls, probs, **kwargs):
+        return cls(logits=jnp.log(jnp.asarray(probs)), **kwargs)
+
+    @property
+    def batch_shape(self):
+        return _shape(self.logits)[:-1]
+
+    @property
+    def num_categories(self):
+        return _shape(self.logits)[-1]
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.categorical(key, jnp.asarray(self.logits),
+                                      axis=-1, shape=shape)
+
+    def log_prob(self, value):
+        log_probs = jax.nn.log_softmax(jnp.asarray(self.logits), axis=-1)
+        value = jnp.asarray(value).astype(jnp.int32)
+        return jnp.take_along_axis(
+            log_probs,
+            jnp.broadcast_to(
+                value, jnp.broadcast_shapes(value.shape,
+                                            log_probs.shape[:-1]))[..., None],
+            axis=-1)[..., 0]
+
+
+@struct.dataclass
+class OneHotCategorical(Distribution):
+    """One-hot categorical; event_shape = (num_categories,).
+
+    Used by the reference's state tests for non-trivial event shapes
+    (/root/reference/test/test_state.py:196-268).
+    """
+
+    logits: Any
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    has_rsample: bool = struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def from_probs(cls, probs, **kwargs):
+        return cls(logits=jnp.log(jnp.asarray(probs)), **kwargs)
+
+    @property
+    def batch_shape(self):
+        return _shape(self.logits)[:-1]
+
+    @property
+    def event_shape(self):
+        return _shape(self.logits)[-1:]
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        idx = jax.random.categorical(key, jnp.asarray(self.logits),
+                                     axis=-1, shape=shape)
+        return jax.nn.one_hot(idx, self.event_shape[-1],
+                              dtype=jnp.result_type(float))
+
+    def log_prob(self, value):
+        log_probs = jax.nn.log_softmax(jnp.asarray(self.logits), axis=-1)
+        return jnp.sum(jnp.asarray(value) * log_probs, axis=-1)
+
+
+@struct.dataclass
+class Bernoulli(Distribution):
+    """Bernoulli over {0,1} parameterized by logits. Not reparameterizable."""
+
+    logits: Any
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    has_rsample: bool = struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def from_probs(cls, probs, **kwargs):
+        probs = jnp.asarray(probs)
+        return cls(logits=jnp.log(probs) - jnp.log1p(-probs), **kwargs)
+
+    @property
+    def batch_shape(self):
+        return _shape(self.logits)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.bernoulli(
+            key, jax.nn.sigmoid(jnp.asarray(self.logits)), shape
+        ).astype(jnp.result_type(float))
+
+    def log_prob(self, value):
+        logits = jnp.asarray(self.logits)
+        value = jnp.asarray(value)
+        return value * jax.nn.log_sigmoid(logits) + \
+            (1.0 - value) * jax.nn.log_sigmoid(-logits)
+
+    @property
+    def mean(self):
+        return jax.nn.sigmoid(jnp.asarray(self.logits))
+
+
+@struct.dataclass
+class Uniform(Distribution):
+    """Uniform on [low, high); reparameterized."""
+
+    low: Any
+    high: Any
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    has_rsample: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(_shape(self.low), _shape(self.high))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        low = jnp.asarray(self.low, dtype=jnp.result_type(float))
+        high = jnp.asarray(self.high, dtype=low.dtype)
+        u = jax.random.uniform(key, shape, dtype=low.dtype)
+        return low + (high - low) * u
+
+    def log_prob(self, value):
+        low = jnp.asarray(self.low)
+        high = jnp.asarray(self.high)
+        value = jnp.asarray(value)
+        inside = (value >= low) & (value < high)
+        return jnp.where(inside, -jnp.log(high - low), -jnp.inf)

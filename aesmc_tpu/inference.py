@@ -1,0 +1,378 @@
+"""SMC / importance-sampling inference engine (L2 of the stack).
+
+Capability parity with /root/reference/aesmc/inference.py:8-269 - one
+`infer` entry point for both algorithms, the same return-dict vocabulary
+(`log_marginal_likelihood`, `latents`, `original_latents`, `log_weight`,
+`log_weights`, `ancestral_indices`, `last_latent`), systematic resampling
+with detached ancestor indices, and backward ancestral-lineage tracing.
+
+TPU-native architecture (not a translation):
+- the time loop is a single `jax.lax.scan` - XLA compiles the whole
+  T-step filter into one fused program (the reference's Python loop at
+  /root/reference/aesmc/inference.py:99-126 re-dispatches every step);
+- latents/weights are stacked `[T, batch, particle, ...]` arrays, not
+  growing Python lists;
+- the Markov fast path resamples only the carried latent - O(T) gathers
+  total instead of the reference's O(T^2) re-gather of the entire history
+  (/root/reference/aesmc/inference.py:102-104; every model in the
+  reference reads only `previous_latents[-1]`);
+- lineage reconstruction is a reverse `lax.scan`
+  (vs /root/reference/aesmc/inference.py:196-231);
+- explicit PRNG keys everywhere - no global RNG;
+- resampling never leaves the device (vs the device->host round trip at
+  /root/reference/aesmc/inference.py:253-254).
+
+User-component contract (mirrors /root/reference/aesmc/inference.py:20-46):
+four callables returning `aesmc_tpu.distributions.Distribution`s (or dicts
+thereof). `previous_latents` / `latents` are length-1 lists holding the
+previous/current latent (`[-1]` indexing works exactly as with the
+reference's growing lists). `observations` is an `ObservationSequence`:
+`observations[t]` works for both Python-int and traced `t`, and `len()`
+gives the number of timesteps. `time` is the Python int 0 for the hoisted
+initial step and a `TimeIndex` (traced, known >= 1, so `time == 0` is
+statically False) inside the scan.
+"""
+
+from __future__ import annotations
+
+import math as _stdmath
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import resampling, state
+from .resampling import sample_ancestral_index  # noqa: F401  (parity export)
+
+__all__ = [
+    "infer", "get_resampled_latents", "sample_ancestral_index",
+    "ObservationSequence", "TimeIndex", "stack_observations",
+]
+
+
+class TimeIndex:
+    """A traced scan time index that the engine guarantees to be >= 1.
+
+    Lets reference-style user code branch `if time == 0:` - the comparison
+    is statically False here because t = 0 is hoisted out of the scan.
+    Arithmetic and jnp indexing delegate to the underlying traced value.
+    """
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    def __eq__(self, other):
+        if isinstance(other, int) and other == 0:
+            return False
+        return self.value == other
+
+    def __ne__(self, other):
+        if isinstance(other, int) and other == 0:
+            return True
+        return self.value != other
+
+    def __hash__(self):
+        return object.__hash__(self)
+
+    def __jax_array__(self):
+        return jnp.asarray(self.value)
+
+    def __add__(self, other):
+        return self.value + other
+
+    def __radd__(self, other):
+        return other + self.value
+
+    def __sub__(self, other):
+        return self.value - other
+
+    def __rsub__(self, other):
+        return other - self.value
+
+    def __mul__(self, other):
+        return self.value * other
+
+    __rmul__ = __mul__
+
+    def __repr__(self):
+        return f"TimeIndex({self.value!r})"
+
+
+class ObservationSequence:
+    """Time-indexable view over stacked observations `[T, batch, ...]`.
+
+    Plays the role of the reference's `observations` list
+    (/root/reference/aesmc/inference.py:20-46): `observations[t]` returns
+    the `[batch, ...]` pytree at time `t` for Python-int, traced, or
+    `TimeIndex` indices (traced indices lower to `dynamic_slice`).
+    """
+
+    __slots__ = ("stacked", "_length")
+
+    def __init__(self, stacked, length: Optional[int] = None):
+        self.stacked = stacked
+        if length is None:
+            leaves = jax.tree_util.tree_leaves(stacked)
+            length = leaves[0].shape[0]
+        self._length = length
+
+    def __getitem__(self, t):
+        if isinstance(t, TimeIndex):
+            t = t.value
+        return jax.tree_util.tree_map(lambda x: x[t], self.stacked)
+
+    def __len__(self):
+        return self._length
+
+    def __iter__(self):
+        return (self[t] for t in range(self._length))
+
+
+def stack_observations(observations):
+    """Normalizes observations to a stacked `[T, batch, ...]` pytree.
+
+    Accepts the reference's list-of-`[batch, ...]`-pytrees format or an
+    already-stacked array/pytree.
+    """
+    if isinstance(observations, ObservationSequence):
+        return observations.stacked
+    if isinstance(observations, (list, tuple)):
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=0),
+            *observations)
+    return jax.tree_util.tree_map(jnp.asarray, observations)
+
+
+def _first_leaf(tree):
+    return jax.tree_util.tree_leaves(tree)[0]
+
+
+def _stack_time(head, rest):
+    """Prepends the hoisted t=0 pytree to scan-stacked `[T-1, ...]` outputs."""
+    if rest is None:
+        return jax.tree_util.tree_map(lambda h: h[None], head)
+    return jax.tree_util.tree_map(
+        lambda h, r: jnp.concatenate([h[None], r], axis=0), head, rest)
+
+
+def infer(inference_algorithm: str,
+          observations,
+          initial,
+          transition,
+          emission,
+          proposal,
+          num_particles: int,
+          key=None,
+          resampling_method: str = "systematic",
+          resampling_implementation: str = "auto",
+          return_log_marginal_likelihood: bool = False,
+          return_latents: bool = True,
+          return_original_latents: bool = False,
+          return_log_weight: bool = True,
+          return_log_weights: bool = False,
+          return_ancestral_indices: bool = False) -> dict:
+    """Particle filtering (smc) or importance sampling (is) on an SSM.
+
+    Args:
+        inference_algorithm: 'is' or 'smc'.
+        observations: list of `[batch, ...]` pytrees of length T, or a
+            stacked `[T, batch, ...]` pytree.
+        initial, transition, emission, proposal: user callables (see module
+            docstring). `transition` may be None when T == 1.
+        num_particles: number of particles K.
+        key: JAX PRNG key (defaults to PRNGKey(0) for convenience).
+        resampling_method: 'systematic' | 'stratified' | 'multinomial'
+            (smc only; the reference is systematic-only).
+        resampling_implementation: 'auto' | 'xla' | 'pallas'.
+        return_*: which outputs to materialize; same vocabulary and
+            defaults as /root/reference/aesmc/inference.py:48-69.
+
+    Returns:
+        dict with keys log_marginal_likelihood `[batch]`, latents
+        `[T, batch, K, ...]`, original_latents, log_weight `[batch, K]`,
+        log_weights `[T, batch, K]`, ancestral_indices `[T-1, batch, K]`,
+        last_latent; entries are None unless requested. Requesting
+        original_latents/ancestral_indices for 'is' raises ValueError up
+        front (the reference raised a RuntimeWarning after doing the work,
+        SURVEY.md S2.4 item 4).
+    """
+    if inference_algorithm not in ("is", "smc"):
+        raise ValueError(
+            "inference_algorithm must be either is or smc. currently = {}"
+            .format(inference_algorithm))
+    if inference_algorithm == "is" and return_original_latents:
+        raise ValueError("return_original_latents shouldn't be True for is")
+    if inference_algorithm == "is" and return_ancestral_indices:
+        raise ValueError("return_ancestral_indices shouldn't be True for is")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    stacked_obs = stack_observations(observations)
+    obs_seq = ObservationSequence(stacked_obs)
+    num_timesteps = len(obs_seq)
+    batch_size = _first_leaf(stacked_obs).shape[1]
+    is_smc = inference_algorithm == "smc"
+
+    # Two independent PRNG streams per timestep: resampling + proposal.
+    step_keys = jax.random.split(key, 2 * num_timesteps).reshape(
+        num_timesteps, 2, -1)
+
+    # ---- t = 0 (hoisted: `time` is the Python int 0, so user code can
+    # branch on it statically, as reference models do, e.g.
+    # /root/reference/test/models/lgssm.py:54).
+    proposal_dist = proposal(time=0, observations=obs_seq)
+    latent_0 = state.sample(proposal_dist, batch_size, num_particles,
+                            step_keys[0, 1])
+    proposal_log_prob = state.log_prob(proposal_dist, latent_0)
+    initial_log_prob = state.log_prob(initial(), latent_0)
+    emission_log_prob = state.log_prob(
+        emission(latents=[latent_0], time=0),
+        state.expand_observation(obs_seq[0], num_particles))
+    log_weight_0 = initial_log_prob + emission_log_prob - proposal_log_prob
+
+    # ---- t = 1 .. T-1: one scan over time.
+    if num_timesteps > 1:
+        def step(carry, inputs):
+            prev_latent, prev_log_weight = carry
+            obs_t, t, keys_t = inputs
+            time = TimeIndex(t)
+
+            if is_smc:
+                ancestral_index = resampling.sample_ancestral_index(
+                    prev_log_weight, keys_t[0],
+                    method=resampling_method,
+                    implementation=resampling_implementation)
+                previous_latent = state.resample(prev_latent, ancestral_index)
+            else:
+                ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
+                previous_latent = prev_latent
+
+            proposal_dist = proposal(previous_latents=[previous_latent],
+                                     time=time, observations=obs_seq)
+            latent_t = state.sample(proposal_dist, batch_size,
+                                    num_particles, keys_t[1])
+            proposal_lp = state.log_prob(proposal_dist, latent_t)
+            transition_lp = state.log_prob(
+                transition(previous_latents=[previous_latent], time=time,
+                           previous_observations=obs_seq),
+                latent_t)
+            emission_lp = state.log_prob(
+                emission(latents=[latent_t], time=time,
+                         previous_observations=obs_seq),
+                state.expand_observation(obs_t, num_particles))
+            log_weight_t = transition_lp + emission_lp - proposal_lp
+
+            return ((latent_t, log_weight_t),
+                    (latent_t, log_weight_t, ancestral_index))
+
+        rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
+        times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
+        (last_latent, _), (rest_latents, rest_log_weights, anc) = \
+            jax.lax.scan(step, (latent_0, log_weight_0),
+                         (rest_obs, times, step_keys[1:]))
+        ancestral_indices = anc if is_smc else None
+    else:
+        last_latent = latent_0
+        rest_latents = None
+        rest_log_weights = None
+        ancestral_indices = (
+            jnp.zeros((0, batch_size, num_particles), dtype=jnp.int32)
+            if is_smc else None)
+
+    original_latents = _stack_time(latent_0, rest_latents)
+    log_weights = _stack_time(log_weight_0, rest_log_weights)  # [T, B, K]
+    log_num_particles = _stdmath.log(num_particles)
+
+    # ---- Estimators. AESMC and IWAE differ exactly in where the
+    # logsumexp over particles sits relative to the sum over time
+    # (/root/reference/aesmc/inference.py:130-132 vs 156-159).
+    if is_smc:
+        if return_log_marginal_likelihood:
+            per_step = jax.nn.logsumexp(log_weights, axis=2) \
+                - log_num_particles
+            log_marginal_likelihood = jnp.sum(per_step, axis=0)
+        else:
+            log_marginal_likelihood = None
+
+        latents = get_resampled_latents(original_latents, ancestral_indices) \
+            if return_latents else None
+        log_weight = log_weights[-1] if return_log_weight else None
+    else:
+        if return_log_marginal_likelihood or return_log_weight:
+            total_log_weight = jnp.sum(log_weights, axis=0)  # [B, K]
+        if return_log_marginal_likelihood:
+            log_marginal_likelihood = jax.nn.logsumexp(
+                total_log_weight, axis=1) - log_num_particles
+        else:
+            log_marginal_likelihood = None
+
+        latents = original_latents if return_latents else None
+        log_weight = total_log_weight if return_log_weight else None
+
+    return {
+        "log_marginal_likelihood": log_marginal_likelihood,
+        "latents": latents,
+        "original_latents":
+            original_latents if (is_smc and return_original_latents)
+            else None,
+        "log_weight": log_weight,
+        "log_weights": log_weights if return_log_weights else None,
+        "ancestral_indices":
+            ancestral_indices if (is_smc and return_ancestral_indices)
+            else None,
+        "last_latent": last_latent,
+    }
+
+
+def get_resampled_latents(latents, ancestral_indices):
+    """Reconstructs surviving-lineage trajectories from SMC outputs.
+
+    Composes ancestry maps backward through time with a reverse
+    `lax.scan`; semantics identical to
+    /root/reference/aesmc/inference.py:196-231.
+
+    Args:
+        latents: stacked `[T, batch, particle, ...]` pytree (or list of
+            `[batch, particle, ...]` pytrees, stacked internally).
+        ancestral_indices: `[T-1, batch, particle]` int array (or list).
+
+    Returns:
+        stacked `[T, batch, particle, ...]` pytree of lineage-traced
+        latents.
+    """
+    if isinstance(latents, (list, tuple)):
+        latents = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *latents)
+    if isinstance(ancestral_indices, (list, tuple)):
+        ancestral_indices = (
+            jnp.stack(ancestral_indices, axis=0) if ancestral_indices
+            else None)
+    num_timesteps = _first_leaf(latents).shape[0]
+    if ancestral_indices is not None and ancestral_indices.shape[0] == 0:
+        ancestral_indices = None
+    if ancestral_indices is None:
+        assert num_timesteps == 1, (
+            "ancestral_indices must have length len(latents) - 1")
+        return latents
+    assert ancestral_indices.shape[0] == num_timesteps - 1, (
+        "ancestral_indices must have length len(latents) - 1")
+
+    batch_size, num_particles = ancestral_indices.shape[1:3]
+    identity = jnp.broadcast_to(
+        jnp.arange(num_particles, dtype=ancestral_indices.dtype),
+        (batch_size, num_particles))
+
+    def step(index, inputs):
+        latent_t, anc_tm1 = inputs
+        traced = state.resample(latent_t, index)
+        new_index = jnp.take_along_axis(anc_tm1, index, axis=1)
+        return new_index, traced
+
+    rest = jax.tree_util.tree_map(lambda x: x[1:], latents)
+    final_index, traced_rest = jax.lax.scan(
+        step, identity, (rest, ancestral_indices), reverse=True)
+    traced_0 = state.resample(
+        jax.tree_util.tree_map(lambda x: x[0], latents), final_index)
+    return _stack_time(traced_0, traced_rest)

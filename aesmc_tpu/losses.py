@@ -1,0 +1,71 @@
+"""Differentiable ELBO objectives (L3 of the stack).
+
+Capability parity with /root/reference/aesmc/losses.py:5-65: a single
+`get_loss` that maps 'iwae' -> importance sampling and 'aesmc' -> SMC,
+runs `infer` for the log marginal likelihood estimate only, and returns
+`-mean(ELBO)` over the batch.
+
+Gradients flow through reparameterized proposal samples and all
+log-probabilities but not through ancestor indices (the engine stops
+them), reproducing the reference's AESMC gradient semantics. Unknown
+algorithm strings raise ValueError (the reference hits a NameError,
+SURVEY.md S2.4 item 3).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import inference
+
+ALGORITHMS = ("iwae", "aesmc")
+
+
+def get_loss(observations, num_particles: int, algorithm: str, initial,
+             transition, emission, proposal, key=None,
+             resampling_method: str = "systematic",
+             resampling_implementation: str = "auto"):
+    """Scalar loss -mean(ELBO) for gradient descent.
+
+    Args:
+        observations: list of `[batch, ...]` pytrees or stacked
+            `[T, batch, ...]` pytree.
+        num_particles: int.
+        algorithm: 'iwae' (IS estimator) or 'aesmc' (SMC estimator).
+        initial, transition, emission, proposal: user components (see
+            `aesmc_tpu.inference`).
+        key: PRNG key threading the sampling inside `infer`.
+        resampling_method/resampling_implementation: forwarded to `infer`
+            (aesmc only).
+
+    Returns:
+        scalar jnp array; differentiate with `jax.grad` /
+        `jax.value_and_grad` w.r.t. the component pytrees.
+    """
+    if algorithm == "iwae":
+        inference_algorithm = "is"
+    elif algorithm == "aesmc":
+        inference_algorithm = "smc"
+    else:
+        raise ValueError(
+            f"algorithm must be one of {ALGORITHMS}. currently = {algorithm}")
+
+    inference_result = inference.infer(
+        inference_algorithm=inference_algorithm,
+        observations=observations,
+        initial=initial,
+        transition=transition,
+        emission=emission,
+        proposal=proposal,
+        num_particles=num_particles,
+        key=key,
+        resampling_method=resampling_method,
+        resampling_implementation=resampling_implementation,
+        return_log_marginal_likelihood=True,
+        return_latents=False,
+        return_original_latents=False,
+        return_log_weight=False,
+        return_log_weights=False,
+        return_ancestral_indices=False)
+    elbo = inference_result["log_marginal_likelihood"]
+    return -jnp.mean(elbo)

@@ -1,0 +1,74 @@
+"""Numerically stable log-space utilities (L0 of the stack).
+
+Capability parity with the reference numerics layer
+(/root/reference/aesmc/math.py:6-51): `lognormexp` and
+`exponentiate_and_normalize`, stable via the usual max-shift inside
+logsumexp. The reference is polymorphic over numpy/torch; here there is a
+single array type (jax.Array), and numpy inputs are accepted transparently
+because jnp operations promote them.
+
+Also hosts the mesh-aware `distributed_logsumexp` used by the parallel
+layer to normalize log-weights across a sharded particle axis (the
+reference has no distributed code; see SURVEY.md S2.3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def lognormexp(values, dim: int = 0):
+    """Log of the normalized exponentials of ``values`` along axis ``dim``.
+
+    result[..., j, ...] = values[..., j, ...] - logsumexp(values, dim)
+
+    Mirrors reference `math.lognormexp` (/root/reference/aesmc/math.py:6-30)
+    to <=1e-6.
+    """
+    values = jnp.asarray(values)
+    log_denominator = jax.nn.logsumexp(values, axis=dim, keepdims=True)
+    return values - log_denominator
+
+
+def exponentiate_and_normalize(values, dim: int = 0):
+    """Normalized exponentials of ``values`` along axis ``dim``.
+
+    result = exp(values) / sum(exp(values), dim), computed stably.
+
+    Mirrors reference `math.exponentiate_and_normalize`
+    (/root/reference/aesmc/math.py:33-51).
+    """
+    return jnp.exp(lognormexp(values, dim=dim))
+
+
+def logsumexp(values, axis=None, keepdims: bool = False):
+    """Stable logsumexp (thin alias over jax.nn.logsumexp)."""
+    return jax.nn.logsumexp(jnp.asarray(values), axis=axis, keepdims=keepdims)
+
+
+def distributed_logsumexp(values, axis_name: str, axis: int | None = None):
+    """logsumexp over a mesh-sharded axis.
+
+    Reduces over the local array axis ``axis`` (if given) *and* the mesh
+    axis ``axis_name``: local max -> pmax -> local sum of shifted
+    exponentials -> psum -> log. Use inside `shard_map` when the particle
+    axis is sharded across devices; replaces the single-device
+    `torch.logsumexp` at /root/reference/aesmc/inference.py:130,158.
+    """
+    values = jnp.asarray(values)
+    if axis is not None:
+        local_max = jnp.max(values, axis=axis, keepdims=True)
+    else:
+        local_max = values
+    global_max = jax.lax.pmax(local_max, axis_name)
+    # Guard against -inf - -inf = nan when a shard is all -inf.
+    safe_max = jnp.where(jnp.isneginf(global_max), 0.0, global_max)
+    shifted = jnp.exp(values - safe_max)
+    if axis is not None:
+        local_sum = jnp.sum(shifted, axis=axis)
+        safe_max = jnp.squeeze(safe_max, axis=axis)
+    else:
+        local_sum = shifted
+    global_sum = jax.lax.psum(local_sum, axis_name)
+    return jnp.log(global_sum) + safe_max

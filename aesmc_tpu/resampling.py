@@ -1,0 +1,184 @@
+"""Particle resampling, fully on-device (the reference's TPU-hostile core).
+
+The reference resampler (/root/reference/aesmc/inference.py:234-269) syncs
+device->host, uses the *global* numpy RNG, and loops over the batch in
+Python. Here every variant is a pure, batched, jittable JAX function with
+an explicit PRNG key:
+
+    normalize -> cumulative sum -> (sorted) inverse-CDF search -> indices
+
+Semantics preserved from the reference:
+- ancestor indices carry no gradient (`stop_gradient`, matching `.detach()`
+  at /root/reference/aesmc/inference.py:254);
+- systematic grid `(u + arange(K)) / K` with one uniform per batch row
+  (/root/reference/aesmc/inference.py:250-251);
+- cumulative weights renormalized by their final value to kill float
+  accumulation error (/root/reference/aesmc/inference.py:257-261);
+- `np.digitize(pos, cum)` == searchsorted(side='right')
+  (/root/reference/aesmc/inference.py:263-264).
+
+Variants: systematic (reference), stratified, multinomial (BASELINE.json
+configs 2-3), plus differentiable soft resampling (gradient flows through
+the weights via a score-function correction on the gathered particles).
+
+`implementation='pallas'` routes to the fused Pallas TPU kernel in
+`aesmc_tpu.ops.resample_pallas` (same signature, same outputs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import math as amath
+
+METHODS = ("systematic", "stratified", "multinomial")
+
+
+def _check_nan_eager(log_weight):
+    """Reference parity: FloatingPointError on NaN log-weights
+    (/root/reference/aesmc/inference.py:244-245). Only checkable eagerly;
+    under jit, NaNs propagate (enable jax_debug_nans to trap them)."""
+    try:
+        has_nan = bool(jnp.isnan(log_weight).any())
+    except (jax.errors.TracerBoolConversionError,
+            jax.errors.ConcretizationTypeError):
+        return
+    if has_nan:
+        raise FloatingPointError("log_weight contains nan element(s)")
+
+
+def _normalized_cumsum(log_weight):
+    """[B, K] log-weights -> [B, K] cumulative normalized weights with
+    cum[:, -1] == 1 exactly (the reference's renormalization hack)."""
+    w = amath.exponentiate_and_normalize(log_weight, dim=-1)
+    cum = jnp.cumsum(w, axis=-1)
+    return cum / cum[:, -1:]
+
+
+def _searchsorted_right(cum, pos):
+    """Batched searchsorted(side='right'): idx[b,k] = #{i : cum[b,i] <= pos[b,k]}.
+
+    Both inputs sorted along the last axis. vmapped jnp.searchsorted
+    compiles to an O(K log K) vectorized binary search on TPU.
+    """
+    find = functools.partial(jnp.searchsorted, side="right")
+    return jax.vmap(find)(cum, pos)
+
+
+def systematic_indices(log_weight, key):
+    """Systematic resampling: one uniform per batch row on a regular grid."""
+    log_weight = jnp.asarray(log_weight)
+    batch_size, num_particles = log_weight.shape
+    cum = _normalized_cumsum(log_weight)
+    u = jax.random.uniform(key, (batch_size, 1), dtype=cum.dtype)
+    pos = (u + jnp.arange(num_particles, dtype=cum.dtype)) / num_particles
+    idx = _searchsorted_right(cum, pos)
+    return jnp.clip(idx, 0, num_particles - 1).astype(jnp.int32)
+
+
+def stratified_indices(log_weight, key):
+    """Stratified resampling: an independent uniform per grid stratum."""
+    log_weight = jnp.asarray(log_weight)
+    batch_size, num_particles = log_weight.shape
+    cum = _normalized_cumsum(log_weight)
+    u = jax.random.uniform(key, (batch_size, num_particles), dtype=cum.dtype)
+    pos = (u + jnp.arange(num_particles, dtype=cum.dtype)) / num_particles
+    idx = _searchsorted_right(cum, pos)
+    return jnp.clip(idx, 0, num_particles - 1).astype(jnp.int32)
+
+
+def multinomial_indices(log_weight, key):
+    """Multinomial resampling: iid categorical draws from the weights."""
+    log_weight = jnp.asarray(log_weight)
+    batch_size, num_particles = log_weight.shape
+    idx = jax.random.categorical(
+        key, log_weight, axis=-1, shape=(num_particles, batch_size))
+    return jnp.swapaxes(idx, 0, 1).astype(jnp.int32)
+
+
+_VARIANTS = {
+    "systematic": systematic_indices,
+    "stratified": stratified_indices,
+    "multinomial": multinomial_indices,
+}
+
+
+def sample_ancestral_index(log_weight, key, method: str = "systematic",
+                           implementation: str = "auto"):
+    """Sample `[batch, particle]` ancestor indices (no gradient).
+
+    Drop-in TPU replacement for
+    /root/reference/aesmc/inference.py:234-269 (which is
+    systematic-only); `method` selects the variant.
+
+    Args:
+        log_weight: `[batch_size, num_particles]` unnormalized log-weights.
+        key: PRNG key.
+        method: 'systematic' | 'stratified' | 'multinomial'.
+        implementation: 'auto' | 'xla' | 'pallas'. 'auto' uses the fused
+            Pallas kernel on TPU for large particle counts.
+
+    Returns:
+        int32 `[batch_size, num_particles]` ancestor indices, detached.
+    """
+    if method not in _VARIANTS:
+        raise ValueError(
+            f"method must be one of {METHODS}. currently = {method}")
+    log_weight = jnp.asarray(log_weight)
+    if log_weight.ndim != 2:
+        raise ValueError(
+            f"log_weight must be [batch, particles]. Got {log_weight.shape}")
+    _check_nan_eager(log_weight)
+    log_weight = jax.lax.stop_gradient(log_weight)
+
+    if implementation == "auto":
+        implementation = _auto_implementation(log_weight, method)
+    if implementation == "pallas":
+        from .ops import resample_pallas
+        return resample_pallas.sample_ancestral_index_pallas(
+            log_weight, key, method=method)
+    return _VARIANTS[method](log_weight, key)
+
+
+def _auto_implementation(log_weight, method: str) -> str:
+    """Pick pallas on real TPU backends for large K, else plain XLA."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and method in ("systematic", "stratified") and \
+            log_weight.shape[-1] >= 4096:
+        try:
+            from .ops import resample_pallas
+            if resample_pallas.AVAILABLE:
+                return "pallas"
+        except ImportError:
+            pass
+    return "xla"
+
+
+def soft_indices_and_weights(log_weight, key, alpha: float = 0.5):
+    """Differentiable ('soft') resampling, Karkus et al. 2018 style.
+
+    Samples ancestors multinomially from the tempered mixture
+    q = alpha * w + (1 - alpha) / K and returns corrected next-step
+    log-weights log(w[a] / q[a]) so the estimator stays unbiased while
+    gradients flow into the pre-resampling weights. Not in the reference
+    (stretch goal, BASELINE.json:11).
+
+    Returns:
+        (indices `[B, K]` int32 - detached,
+         corrected log-weights `[B, K]` - differentiable w.r.t. log_weight)
+    """
+    log_weight = jnp.asarray(log_weight)
+    _, num_particles = log_weight.shape
+    w = amath.exponentiate_and_normalize(log_weight, dim=-1)
+    q = alpha * w + (1.0 - alpha) / num_particles
+    idx = multinomial_indices(jax.lax.stop_gradient(jnp.log(q)), key)
+    w_sel = jnp.take_along_axis(w, idx, axis=1)
+    q_sel = jnp.take_along_axis(q, idx, axis=1)
+    return idx, jnp.log(w_sel) - jax.lax.stop_gradient(jnp.log(q_sel))

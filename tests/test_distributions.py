@@ -1,0 +1,155 @@
+"""Distribution library tests: shapes, closed-form log-probs, rsample
+gradients, pytree behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+
+from aesmc_tpu import distributions as dists
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestNormal:
+    def test_shapes(self):
+        d = dists.Normal(jnp.zeros((2, 3)), jnp.ones((2, 3)))
+        assert d.batch_shape == (2, 3)
+        assert d.event_shape == ()
+        assert d.sample(KEY).shape == (2, 3)
+        assert d.sample(KEY, (5,)).shape == (5, 2, 3)
+        assert d.log_prob(jnp.zeros((5, 2, 3))).shape == (5, 2, 3)
+
+    def test_broadcasting(self):
+        d = dists.Normal(jnp.zeros((4,)), 2.0)
+        assert d.batch_shape == (4,)
+        assert d.sample(KEY, (2, 3)).shape == (2, 3, 4)
+
+    def test_log_prob_values(self):
+        locs = np.array([0.0, 1.5, -2.0])
+        scales = np.array([1.0, 0.5, 3.0])
+        xs = np.array([0.3, -1.2, 4.0])
+        d = dists.Normal(jnp.asarray(locs), jnp.asarray(scales))
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(jnp.asarray(xs))),
+            scipy.stats.norm.logpdf(xs, locs, scales), atol=1e-4)
+
+    def test_rsample_gradient(self):
+        def f(loc):
+            d = dists.Normal(loc, 2.0)
+            return jnp.sum(d.rsample(KEY, (100,)))
+        g = jax.grad(f)(jnp.asarray(1.0))
+        np.testing.assert_allclose(float(g), 100.0, atol=1e-4)
+
+    def test_sample_statistics(self):
+        d = dists.Normal(3.0, 2.0)
+        x = np.asarray(d.sample(KEY, (200000,)))
+        np.testing.assert_allclose(x.mean(), 3.0, atol=0.05)
+        np.testing.assert_allclose(x.std(), 2.0, atol=0.05)
+
+
+class TestMultivariateNormalDiag:
+    def test_shapes_and_values(self):
+        loc = np.random.randn(2, 5)
+        scale = np.abs(np.random.randn(2, 5)) + 0.1
+        d = dists.MultivariateNormalDiag(jnp.asarray(loc), jnp.asarray(scale))
+        assert d.batch_shape == (2,)
+        assert d.event_shape == (5,)
+        x = np.random.randn(2, 5)
+        expected = scipy.stats.norm.logpdf(x, loc, scale).sum(-1)
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(jnp.asarray(x))), expected, atol=1e-4)
+
+
+class TestIndependent:
+    def test_matches_sum(self):
+        base = dists.Normal(jnp.zeros((2, 3, 4)), jnp.ones((2, 3, 4)))
+        d = dists.Independent(base, 2)
+        assert d.batch_shape == (2,)
+        assert d.event_shape == (3, 4)
+        x = jnp.asarray(np.random.randn(2, 3, 4))
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(x)),
+            np.asarray(base.log_prob(x)).sum((-1, -2)), atol=1e-4)
+
+
+class TestCategorical:
+    def test_log_prob(self):
+        probs = np.array([[0.2, 0.3, 0.5], [0.6, 0.3, 0.1]])
+        d = dists.Categorical.from_probs(jnp.asarray(probs))
+        value = jnp.asarray([2, 0])
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(value)),
+            np.log(np.array([0.5, 0.6])), atol=1e-4)
+
+    def test_sampler_marginals(self):
+        probs = np.array([0.2, 0.3, 0.5])
+        d = dists.Categorical.from_probs(jnp.asarray(probs))
+        x = np.asarray(d.sample(KEY, (20000,)))
+        emp = np.bincount(x, minlength=3) / 20000
+        np.testing.assert_allclose(emp, probs, atol=2e-2)
+
+    def test_not_reparameterizable(self):
+        d = dists.Categorical.from_probs(jnp.asarray([0.5, 0.5]))
+        assert not d.has_rsample
+        try:
+            d.rsample(KEY)
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
+
+
+class TestOneHotCategorical:
+    def test_shapes_and_log_prob(self):
+        probs = np.array([[0.2, 0.8], [0.7, 0.3]])
+        d = dists.OneHotCategorical.from_probs(jnp.asarray(probs))
+        assert d.batch_shape == (2,)
+        assert d.event_shape == (2,)
+        x = jnp.asarray([[0.0, 1.0], [1.0, 0.0]])
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(x)),
+            np.log(np.array([0.8, 0.7])), atol=1e-4)
+        s = d.sample(KEY, (7,))
+        assert s.shape == (7, 2, 2)
+        np.testing.assert_allclose(np.asarray(s.sum(-1)), np.ones((7, 2)))
+
+
+class TestBernoulli:
+    def test_log_prob(self):
+        d = dists.Bernoulli.from_probs(jnp.asarray([0.2, 0.9]))
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(jnp.asarray([1.0, 0.0]))),
+            np.log(np.array([0.2, 0.1])), atol=1e-4)
+
+
+class TestUniform:
+    def test_log_prob_and_sample(self):
+        d = dists.Uniform(1.0, 3.0)
+        np.testing.assert_allclose(float(d.log_prob(jnp.asarray(2.0))),
+                                   -np.log(2.0), atol=1e-4)
+        assert float(d.log_prob(jnp.asarray(5.0))) == -np.inf
+        x = np.asarray(d.sample(KEY, (10000,)))
+        assert (x >= 1.0).all() and (x < 3.0).all()
+
+
+class TestPytree:
+    def test_distributions_are_pytrees(self):
+        d = dists.Normal(jnp.zeros((2,)), jnp.ones((2,)))
+        leaves = jax.tree_util.tree_leaves(d)
+        assert len(leaves) == 2
+
+        @jax.jit
+        def f(d):
+            return d.log_prob(jnp.zeros((2,)))
+
+        np.testing.assert_allclose(
+            np.asarray(f(d)),
+            scipy.stats.norm.logpdf(np.zeros(2)), atol=1e-4)
+
+    def test_mode_is_static(self):
+        from aesmc_tpu.state import BatchShapeMode
+        d = dists.Normal(jnp.zeros((2,)), 1.0,
+                         batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
+        d2 = jax.tree_util.tree_map(lambda x: x, d)
+        assert d2.batch_shape_mode == BatchShapeMode.FULLY_EXPANDED

@@ -1,0 +1,308 @@
+"""Inference-engine tests: hand-traced lineage reconstruction, the Kalman
+oracle (the reference's signature test: SMC/IS posteriors vs the exact
+smoother on a noisy sine fit by EM, /root/reference/test/test_inference.py),
+and input validation."""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aesmc_tpu import distributions as dists
+from aesmc_tpu import inference, statistics
+from aesmc_tpu.models import kalman
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestGetResampledLatents:
+    def test_hand_traced_value(self):
+        # Exact scenario of /root/reference/test/test_inference.py:13-40.
+        latents = [
+            jnp.asarray([[1.0, 2.0, 3.0]]),
+            jnp.asarray([[4.0, 5.0, 6.0]]),
+            jnp.asarray([[7.0, 8.0, 9.0]]),
+            jnp.asarray([[10.0, 11.0, 12.0]]),
+        ]
+        ancestral_indices = [
+            jnp.asarray([[0, 2, 1]]),
+            jnp.asarray([[2, 0, 0]]),
+            jnp.asarray([[1, 2, 0]]),
+        ]
+        true_resampled = np.array([
+            [[1.0, 1.0, 2.0]],
+            [[4.0, 4.0, 6.0]],
+            [[8.0, 9.0, 7.0]],
+            [[10.0, 11.0, 12.0]],
+        ])
+        out = inference.get_resampled_latents(latents, ancestral_indices)
+        np.testing.assert_array_equal(np.asarray(out), true_resampled)
+
+    def test_single_timestep(self):
+        latents = jnp.asarray(np.random.randn(1, 2, 3))
+        out = inference.get_resampled_latents(latents, [])
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(latents))
+
+    def test_length_mismatch_raises(self):
+        latents = jnp.asarray(np.random.randn(3, 1, 2))
+        with pytest.raises(AssertionError):
+            inference.get_resampled_latents(
+                latents, jnp.zeros((1, 1, 2), dtype=jnp.int32))
+
+    def test_pytree_latents(self):
+        latents = {"x": jnp.asarray([[[1.0, 2.0]], [[3.0, 4.0]]])}
+        anc = jnp.asarray([[[1, 1]]])
+        out = inference.get_resampled_latents(latents, anc)
+        np.testing.assert_array_equal(
+            np.asarray(out["x"]), np.array([[[2.0, 2.0]], [[3.0, 4.0]]]))
+
+
+class TestValidation:
+    def _run(self, **kwargs):
+        from aesmc_tpu.models import lgssm
+        obs = jnp.zeros((3, 2))
+        return inference.infer(
+            observations=obs,
+            initial=lgssm.Initial(0.0, 1.0),
+            transition=lgssm.Transition.create(0.9, 1.0),
+            emission=lgssm.Emission.create(1.0, 0.1),
+            proposal=lgssm.Proposal.create(1.0, 1.0),
+            num_particles=4, key=KEY, **kwargs)
+
+    def test_bad_algorithm(self):
+        with pytest.raises(ValueError, match="is or smc"):
+            self._run(inference_algorithm="bogus")
+
+    def test_is_with_original_latents(self):
+        with pytest.raises(ValueError, match="original_latents"):
+            self._run(inference_algorithm="is", return_original_latents=True)
+
+    def test_is_with_ancestral_indices(self):
+        with pytest.raises(ValueError, match="ancestral_indices"):
+            self._run(inference_algorithm="is",
+                      return_ancestral_indices=True)
+
+    def test_return_flags(self):
+        r = self._run(inference_algorithm="smc",
+                      return_log_marginal_likelihood=True,
+                      return_original_latents=True,
+                      return_log_weights=True,
+                      return_ancestral_indices=True)
+        assert r["log_marginal_likelihood"].shape == (2,)
+        assert r["latents"].shape == (3, 2, 4)
+        assert r["original_latents"].shape == (3, 2, 4)
+        assert r["log_weight"].shape == (2, 4)
+        assert r["log_weights"].shape == (3, 2, 4)
+        assert r["ancestral_indices"].shape == (2, 2, 4)
+        assert r["last_latent"].shape == (2, 4)
+
+    def test_none_when_not_requested(self):
+        r = self._run(inference_algorithm="smc")
+        assert r["log_marginal_likelihood"] is None
+        assert r["original_latents"] is None
+        assert r["log_weights"] is None
+        assert r["ancestral_indices"] is None
+        assert r["latents"] is not None
+        assert r["log_weight"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Kalman oracle (reference test_inference.py:85-375): reference-style plain
+# callables (not pytrees - engine must accept both), inferred batch-shape
+# modes (ambiguity warnings expected), EM-fitted params on a noisy sine.
+# ---------------------------------------------------------------------------
+
+class Initial:
+    def __init__(self, mean, variance):
+        self.mean, self.variance = mean, variance
+
+    def __call__(self):
+        return dists.Normal(self.mean, np.sqrt(self.variance))
+
+
+class Transition:
+    def __init__(self, mult, variance, offset):
+        self.mult, self.variance, self.offset = mult, variance, offset
+
+    def __call__(self, previous_latents=None, time=None,
+                 previous_observations=None):
+        return dists.Normal(previous_latents[-1] * self.mult + self.offset,
+                            np.sqrt(self.variance))
+
+
+class Emission:
+    def __init__(self, mult, variance, offset):
+        self.mult, self.variance, self.offset = mult, variance, offset
+
+    def __call__(self, latents=None, time=None, previous_observations=None):
+        return dists.Normal(latents[-1] * self.mult + self.offset,
+                            np.sqrt(self.variance))
+
+
+class Proposal:
+    """Bootstrap proposal == model dynamics, with a reference-style
+    `if time == 0` branch."""
+
+    def __init__(self, initial_mean, initial_variance, mult, variance,
+                 offset):
+        self.initial_mean = initial_mean
+        self.initial_variance = initial_variance
+        self.mult, self.variance, self.offset = mult, variance, offset
+
+    def __call__(self, previous_latents=None, time=None, observations=None):
+        if time == 0:
+            return dists.Normal(self.initial_mean,
+                                np.sqrt(self.initial_variance))
+        else:
+            return dists.Normal(
+                previous_latents[-1] * self.mult + self.offset,
+                np.sqrt(self.variance))
+
+
+@pytest.fixture(scope="module")
+def kalman_setup():
+    rng = np.random.RandomState(0)
+    num_timesteps = 100
+    x = np.linspace(0, 3 * np.pi, num_timesteps)
+    observations = 40 * (np.sin(x) + 0.2 * rng.randn(num_timesteps))
+
+    init = kalman.KalmanParams(
+        initial_mean=0.0, initial_variance=1.0,
+        transition_mult=1.0, transition_offset=0.0,
+        transition_variance=0.01,
+        emission_mult=1.0, emission_offset=0.0, emission_variance=1.0)
+    fitted = kalman.kalman_em(observations, init, num_iterations=10)
+    smoothed_means, smoothed_variances = kalman.kalman_smoother(
+        observations, fitted)
+
+    obs = jnp.asarray(observations, dtype=jnp.float32)[:, None]  # [T, B=1]
+    components = dict(
+        initial=Initial(fitted.initial_mean, fitted.initial_variance),
+        transition=Transition(fitted.transition_mult,
+                              fitted.transition_variance,
+                              fitted.transition_offset),
+        emission=Emission(fitted.emission_mult, fitted.emission_variance,
+                          fitted.emission_offset),
+        proposal=Proposal(fitted.initial_mean, fitted.initial_variance,
+                          fitted.transition_mult, fitted.transition_variance,
+                          fitted.transition_offset))
+    return obs, components, smoothed_means, smoothed_variances
+
+
+def _posterior_moments(result):
+    latents = result["latents"]          # [T, B=1, K]
+    logw = result["log_weight"]          # [B=1, K]
+    means = np.array([
+        float(statistics.empirical_mean(latents[t], logw)[0])
+        for t in range(latents.shape[0])])
+    variances = np.array([
+        float(statistics.empirical_variance(latents[t], logw)[0])
+        for t in range(latents.shape[0])])
+    return means, variances
+
+
+class TestKalmanOracle:
+    num_particles = 1000
+
+    def test_em_fits_reasonably(self, kalman_setup):
+        _, _, smoothed_means, _ = kalman_setup
+        # EM-smoothed means must track the underlying sine.
+        x = np.linspace(0, 3 * np.pi, 100)
+        clean = 40 * np.sin(x)
+        rmse = np.sqrt(np.mean((smoothed_means - clean) ** 2))
+        assert rmse < 10.0
+
+    def test_is(self, kalman_setup):
+        obs, components, km, kv = kalman_setup
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            result = inference.infer(
+                inference_algorithm="is", observations=obs,
+                num_particles=self.num_particles, key=jax.random.PRNGKey(1),
+                **components)
+        means, variances = _posterior_moments(result)
+        rmse = np.sqrt(np.mean((km - means) ** 2))
+        var_rel_err = np.mean(np.abs(kv - variances) / kv)
+        # IS is expected to be bad (reference test_inference.py:286-288).
+        assert rmse < 20
+        assert var_rel_err <= 2
+
+    def test_smc(self, kalman_setup):
+        obs, components, km, kv = kalman_setup
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            result = inference.infer(
+                inference_algorithm="smc", observations=obs,
+                num_particles=self.num_particles, key=jax.random.PRNGKey(1),
+                **components)
+        means, variances = _posterior_moments(result)
+        rmse = np.sqrt(np.mean((km - means) ** 2))
+        var_rel_err = np.mean(np.abs(kv - variances) / kv)
+        # SMC is expected to be good (reference test_inference.py:373-375).
+        assert rmse < 2
+        assert var_rel_err < 0.5
+
+    @pytest.mark.parametrize("method", ["stratified", "multinomial"])
+    def test_smc_other_resamplers(self, kalman_setup, method):
+        obs, components, km, kv = kalman_setup
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            result = inference.infer(
+                inference_algorithm="smc", observations=obs,
+                num_particles=self.num_particles, key=jax.random.PRNGKey(2),
+                resampling_method=method, **components)
+        means, variances = _posterior_moments(result)
+        rmse = np.sqrt(np.mean((km - means) ** 2))
+        var_rel_err = np.mean(np.abs(kv - variances) / kv)
+        assert rmse < 2
+        assert var_rel_err < 0.5
+
+    def test_log_marginal_likelihood_matches_kalman(self, kalman_setup):
+        obs, components, _, _ = kalman_setup
+        # Exact log Z from the Kalman filter vs the SMC estimate.
+        rng = np.random.RandomState(0)
+        x = np.linspace(0, 3 * np.pi, 100)
+        observations = np.asarray(obs[:, 0])
+        params = kalman.KalmanParams(
+            initial_mean=components["initial"].mean,
+            initial_variance=components["initial"].variance,
+            transition_mult=components["transition"].mult,
+            transition_offset=components["transition"].offset,
+            transition_variance=components["transition"].variance,
+            emission_mult=components["emission"].mult,
+            emission_offset=components["emission"].offset,
+            emission_variance=components["emission"].variance)
+        _, _, _, _, exact_lml = kalman.kalman_filter(observations, params)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            result = inference.infer(
+                inference_algorithm="smc", observations=obs,
+                num_particles=self.num_particles, key=jax.random.PRNGKey(3),
+                return_log_marginal_likelihood=True, **components)
+        est = float(result["log_marginal_likelihood"][0])
+        # SMC log-Z estimates are consistent; 1000 particles on T=100
+        # with a bootstrap proposal land within a few nats.
+        assert abs(est - exact_lml) / abs(exact_lml) < 0.05
+
+
+class TestObservationSequence:
+    def test_indexing(self):
+        stacked = jnp.arange(12.0).reshape(3, 4)
+        seq = inference.ObservationSequence(stacked)
+        assert len(seq) == 3
+        np.testing.assert_array_equal(np.asarray(seq[1]),
+                                      np.arange(4.0) + 4)
+        # Traced index
+        idx = jnp.asarray(2)
+        np.testing.assert_array_equal(np.asarray(seq[idx]),
+                                      np.arange(4.0) + 8)
+
+    def test_time_index_semantics(self):
+        t = inference.TimeIndex(jnp.asarray(3))
+        assert not (t == 0)
+        assert t != 0
+        assert int(np.asarray(t + 1)) == 4
+        assert int(np.asarray(1 + t)) == 4
+        assert int(np.asarray(t - 1)) == 2
