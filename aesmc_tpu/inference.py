@@ -167,6 +167,9 @@ def infer(inference_algorithm: str,
           key=None,
           resampling_method: str = "systematic",
           resampling_implementation: str = "auto",
+          mesh=None,
+          data_axis: str = "data",
+          particle_axis: str = "particle",
           return_log_marginal_likelihood: bool = False,
           return_latents: bool = True,
           return_original_latents: bool = False,
@@ -185,7 +188,16 @@ def infer(inference_algorithm: str,
         key: JAX PRNG key (defaults to PRNGKey(0) for convenience).
         resampling_method: 'systematic' | 'stratified' | 'multinomial'
             (smc only; the reference is systematic-only).
-        resampling_implementation: 'auto' | 'xla' | 'pallas'.
+        resampling_implementation: 'auto' | 'xla' | 'pallas', or a callable
+            `(log_weight, key) -> indices` (e.g. a shard_map distributed
+            resampler from `aesmc_tpu.parallel`).
+        mesh: optional `jax.sharding.Mesh`. When given, per-step latents
+            and log-weights carry `with_sharding_constraint`s over
+            `(data_axis, particle_axis)`, so GSPMD partitions the whole
+            scan across the batch x particle device grid (the reference
+            has no multi-device path at all, SURVEY.md S2.3).
+        data_axis / particle_axis: mesh axis names for the batch and
+            particle dimensions.
         return_*: which outputs to materialize; same vocabulary and
             defaults as /root/reference/aesmc/inference.py:48-69.
 
@@ -215,6 +227,21 @@ def infer(inference_algorithm: str,
     batch_size = _first_leaf(stacked_obs).shape[1]
     is_smc = inference_algorithm == "smc"
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _constrain(tree):
+            def leaf(x):
+                spec = PartitionSpec(
+                    data_axis, particle_axis,
+                    *([None] * (jnp.ndim(x) - 2)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+            return jax.tree_util.tree_map(leaf, tree)
+    else:
+        def _constrain(tree):
+            return tree
+
     # Two independent PRNG streams per timestep: resampling + proposal.
     step_keys = jax.random.split(key, 2 * num_timesteps).reshape(
         num_timesteps, 2, -1)
@@ -223,14 +250,15 @@ def infer(inference_algorithm: str,
     # branch on it statically, as reference models do, e.g.
     # /root/reference/test/models/lgssm.py:54).
     proposal_dist = proposal(time=0, observations=obs_seq)
-    latent_0 = state.sample(proposal_dist, batch_size, num_particles,
-                            step_keys[0, 1])
+    latent_0 = _constrain(state.sample(proposal_dist, batch_size,
+                                       num_particles, step_keys[0, 1]))
     proposal_log_prob = state.log_prob(proposal_dist, latent_0)
     initial_log_prob = state.log_prob(initial(), latent_0)
     emission_log_prob = state.log_prob(
         emission(latents=[latent_0], time=0),
         state.expand_observation(obs_seq[0], num_particles))
-    log_weight_0 = initial_log_prob + emission_log_prob - proposal_log_prob
+    log_weight_0 = _constrain(
+        initial_log_prob + emission_log_prob - proposal_log_prob)
 
     # ---- t = 1 .. T-1: one scan over time.
     if num_timesteps > 1:
@@ -251,8 +279,8 @@ def infer(inference_algorithm: str,
 
             proposal_dist = proposal(previous_latents=[previous_latent],
                                      time=time, observations=obs_seq)
-            latent_t = state.sample(proposal_dist, batch_size,
-                                    num_particles, keys_t[1])
+            latent_t = _constrain(state.sample(proposal_dist, batch_size,
+                                               num_particles, keys_t[1]))
             proposal_lp = state.log_prob(proposal_dist, latent_t)
             transition_lp = state.log_prob(
                 transition(previous_latents=[previous_latent], time=time,
@@ -262,7 +290,8 @@ def infer(inference_algorithm: str,
                 emission(latents=[latent_t], time=time,
                          previous_observations=obs_seq),
                 state.expand_observation(obs_t, num_particles))
-            log_weight_t = transition_lp + emission_lp - proposal_lp
+            log_weight_t = _constrain(
+                transition_lp + emission_lp - proposal_lp)
 
             return ((latent_t, log_weight_t),
                     (latent_t, log_weight_t, ancestral_index))

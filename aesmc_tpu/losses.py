@@ -24,7 +24,9 @@ ALGORITHMS = ("iwae", "aesmc")
 def get_loss(observations, num_particles: int, algorithm: str, initial,
              transition, emission, proposal, key=None,
              resampling_method: str = "systematic",
-             resampling_implementation: str = "auto"):
+             resampling_implementation="auto",
+             mesh=None, data_axis: str = "data",
+             particle_axis: str = "particle"):
     """Scalar loss -mean(ELBO) for gradient descent.
 
     Args:
@@ -35,8 +37,9 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         initial, transition, emission, proposal: user components (see
             `aesmc_tpu.inference`).
         key: PRNG key threading the sampling inside `infer`.
-        resampling_method/resampling_implementation: forwarded to `infer`
-            (aesmc only).
+        resampling_method/resampling_implementation/mesh/data_axis/
+            particle_axis: forwarded to `infer` (resampling args: aesmc
+            only; mesh enables multi-chip sharding constraints).
 
     Returns:
         scalar jnp array; differentiate with `jax.grad` /
@@ -61,6 +64,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         key=key,
         resampling_method=resampling_method,
         resampling_implementation=resampling_implementation,
+        mesh=mesh, data_axis=data_axis, particle_axis=particle_axis,
         return_log_marginal_likelihood=True,
         return_latents=False,
         return_original_latents=False,

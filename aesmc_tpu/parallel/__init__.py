@@ -1,0 +1,22 @@
+"""Mesh parallelism over ('data', 'particle') device grids.
+
+The reference is strictly single-process/single-device (SURVEY.md S2.3:
+no torch.distributed, no NCCL, no multi-GPU anywhere); this package is the
+TPU-native scaling layer it lacks: XLA collectives over ICI expressed via
+`jax.sharding` + `shard_map`, with the batch and particle axes of the SMC
+state sharded across chips.
+"""
+
+from .mesh import make_mesh, data_particle_specs
+from .dist_resampling import (
+    make_distributed_systematic_resampler,
+    distributed_systematic_indices,
+)
+from .sharded import make_sharded_train_step, shard_batch
+
+__all__ = [
+    "make_mesh", "data_particle_specs",
+    "make_distributed_systematic_resampler",
+    "distributed_systematic_indices",
+    "make_sharded_train_step", "shard_batch",
+]

@@ -119,12 +119,17 @@ def sample_ancestral_index(log_weight, key, method: str = "systematic",
         log_weight: `[batch_size, num_particles]` unnormalized log-weights.
         key: PRNG key.
         method: 'systematic' | 'stratified' | 'multinomial'.
-        implementation: 'auto' | 'xla' | 'pallas'. 'auto' uses the fused
-            Pallas kernel on TPU for large particle counts.
+        implementation: 'auto' | 'xla' | 'pallas', or a callable
+            `(log_weight, key) -> indices` (e.g. a distributed shard_map
+            resampler from `aesmc_tpu.parallel.dist_resampling`).
 
     Returns:
         int32 `[batch_size, num_particles]` ancestor indices, detached.
     """
+    if callable(implementation):
+        log_weight = jnp.asarray(log_weight)
+        _check_nan_eager(log_weight)
+        return implementation(jax.lax.stop_gradient(log_weight), key)
     if method not in _VARIANTS:
         raise ValueError(
             f"method must be one of {METHODS}. currently = {method}")

@@ -2,27 +2,33 @@
 
 Sharding paths (pjit/shard_map over a ('data','particle') mesh) are
 exercised on fake CPU devices, per SURVEY.md S4 ("Multi-node testing").
-Must set flags before jax initializes its backends.
+
+Note: this environment pre-registers a tunneled single-TPU 'axon' backend
+via sitecustomize (JAX_PLATFORMS=axon in the ambient env), so the platform
+must be forced back to CPU through jax.config, not env vars. XLA_FLAGS is
+still honored because the CPU client initializes lazily.
 """
 
 import os
+import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import pathlib  # noqa: E402
-
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# Persistent compilation cache: XLA compiles are seconds-slow on this CPU;
-# cache them across pytest runs.
+# Persistent compilation cache across pytest runs.
 _cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
 _cache_dir.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+assert jax.device_count() >= 8, (
+    "tests expect 8 virtual CPU devices; got "
+    f"{jax.devices()}")
