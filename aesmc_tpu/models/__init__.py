@@ -5,8 +5,12 @@ BASELINE.json config families (stochastic volatility, bouncing ball) plus
 the exact Kalman oracle.
 """
 
+from . import bouncing_ball
 from . import gaussian
 from . import kalman
 from . import lgssm
+from . import lgssm_nd
+from . import stochastic_volatility
 
-__all__ = ["gaussian", "kalman", "lgssm"]
+__all__ = ["bouncing_ball", "gaussian", "kalman", "lgssm", "lgssm_nd",
+           "stochastic_volatility"]

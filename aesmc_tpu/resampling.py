@@ -62,10 +62,15 @@ def _normalized_cumsum(log_weight):
 def _searchsorted_right(cum, pos):
     """Batched searchsorted(side='right'): idx[b,k] = #{i : cum[b,i] <= pos[b,k]}.
 
-    Both inputs sorted along the last axis. vmapped jnp.searchsorted
-    compiles to an O(K log K) vectorized binary search on TPU.
+    Both inputs sorted along the last axis. Method choice is
+    TPU-informed: the default 'scan' binary search serializes K gathers
+    (14 ms at [10, 10k] on v5e - it was 97% of the whole SMC step);
+    'compare_all' wins for small rows, 'sort' for large ones. The fused
+    Pallas kernel (implementation='pallas') replaces both.
     """
-    find = functools.partial(jnp.searchsorted, side="right")
+    k = cum.shape[-1]
+    method = "compare_all" if k <= 2048 else "sort"
+    find = functools.partial(jnp.searchsorted, side="right", method=method)
     return jax.vmap(find)(cum, pos)
 
 
@@ -92,12 +97,31 @@ def stratified_indices(log_weight, key):
 
 
 def multinomial_indices(log_weight, key):
-    """Multinomial resampling: iid categorical draws from the weights."""
+    """Multinomial resampling: iid categorical draws from the weights.
+
+    Implemented by inverse-CDF with *sorted* uniforms generated via the
+    exponential-spacings identity (S_k / S_{K+1} for S = cumsum of iid
+    Exp(1) draws), which is O(K) with no sort and no K^2 Gumbel tensor
+    (jax.random.categorical at shape [K] x logits [B, K] materializes a
+    [K, B, K] array - 4 GB at the 10k-particle benchmark config).
+    Returns the order statistics of the iid draws; marginals and
+    offspring counts are identical to unsorted multinomial resampling.
+    """
     log_weight = jnp.asarray(log_weight)
+    pos = _multinomial_positions(log_weight, key)
+    cum = _normalized_cumsum(log_weight)
+    idx = _searchsorted_right(cum, pos)
+    return jnp.clip(idx, 0, log_weight.shape[-1] - 1).astype(jnp.int32)
+
+
+def _multinomial_positions(log_weight, key):
+    """Sorted Uniform(0,1) order statistics via exponential spacings."""
     batch_size, num_particles = log_weight.shape
-    idx = jax.random.categorical(
-        key, log_weight, axis=-1, shape=(num_particles, batch_size))
-    return jnp.swapaxes(idx, 0, 1).astype(jnp.int32)
+    e = jax.random.exponential(
+        key, (batch_size, num_particles + 1),
+        dtype=jnp.result_type(float))
+    s = jnp.cumsum(e, axis=-1)
+    return s[:, :-1] / s[:, -1:]
 
 
 _VARIANTS = {

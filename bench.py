@@ -1,0 +1,127 @@
+"""Benchmark entry point (run by the driver on real TPU hardware).
+
+Headline metric (BASELINE.json:2): particle-steps/sec/chip on the LGSSM
+SMC workload at 10k particles (T=200, B=10, systematic resampling, log-ML
+estimate only - the training objective's inference pass). `vs_baseline`
+compares against the reference PyTorch implementation measured locally on
+CPU (benchmarks/BASELINE_MEASURED.json; the reference publishes no
+numbers, BASELINE.md).
+
+Prints exactly ONE JSON line on stdout; details go to stderr.
+
+Note on timing: through this environment's TPU relay, dispatch is async
+and `block_until_ready` returns early, so every timed call forces a
+scalar fetch; the workload is internally iterated (one call = a T=200
+lax.scan), which amortizes the ~28 ms RPC latency.
+"""
+
+import json
+import pathlib
+import statistics as stdstats
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+BASELINE_FILE = (pathlib.Path(__file__).resolve().parent / "benchmarks" /
+                 "BASELINE_MEASURED.json")
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def timed(fn, *args, repeats=5):
+    out = fn(*args)
+    float(jnp.sum(out))  # warm + force
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(jnp.sum(out))  # force full execution + fetch
+        times.append(time.perf_counter() - t0)
+    return stdstats.median(times)
+
+
+def main():
+    import optax  # noqa: F401
+
+    from aesmc_tpu import inference, losses, statistics
+    from aesmc_tpu.models import lgssm
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    key = jax.random.PRNGKey(0)
+
+    initial = lgssm.Initial(0.0, 1.0)
+    transition = lgssm.Transition.create(0.9, 1.0)
+    emission = lgssm.Emission.create(1.0, 0.2)
+    proposal = lgssm.Proposal.create(1.0, 1.0, key)
+
+    # ---- Headline: SMC inference, T=200, B=10, K=10000.
+    T, B, K = 200, 10, 10000
+    _, obs = statistics.sample_from_prior(initial, transition, emission,
+                                          T, B, key)
+    smc = jax.jit(lambda o, k: inference.infer(
+        "smc", o, initial, transition, emission, proposal, K, key=k,
+        return_log_marginal_likelihood=True, return_latents=False,
+        return_log_weight=False)["log_marginal_likelihood"])
+    t0 = time.time()
+    dt = timed(smc, obs, key)
+    particle_steps_per_sec = B * K * T / dt
+    log(f"SMC T={T} B={B} K={K}: {dt*1e3:.2f} ms/call = "
+        f"{particle_steps_per_sec/1e6:.2f} M particle-steps/s "
+        f"(first call incl compile: {time.time()-t0:.1f}s)")
+
+    # ---- Secondary: AESMC train step at the reference training config.
+    import optax
+    from aesmc_tpu import train as atrain
+    T2, B2, K2 = 200, 10, 100
+    _, obs2 = statistics.sample_from_prior(initial, transition, emission,
+                                           T2, B2, key)
+    optimizer = optax.adam(1e-2)
+    comps = (initial, lgssm.Transition.create(0.5, 1.0), emission, proposal)
+    step = atrain.make_train_step(K2, "aesmc", optimizer)
+    opt_state = optimizer.init(comps)
+
+    def one_step(o, k):
+        _, _, loss = step(comps, opt_state, o, k)
+        return loss
+
+    dt2 = timed(one_step, obs2, key)
+    log(f"AESMC train step T={T2} B={B2} K={K2}: {dt2*1e3:.2f} ms = "
+        f"{1/dt2:.1f} steps/s")
+
+    vs_baseline = None
+    if BASELINE_FILE.exists():
+        baseline = json.loads(BASELINE_FILE.read_text())
+        ref = baseline["configs"]["smc_infer_T200_B10_K10000"]
+        vs_baseline = particle_steps_per_sec / ref["particle_steps_per_sec"]
+        log(f"reference (torch CPU): "
+            f"{ref['particle_steps_per_sec']/1e6:.3f} M particle-steps/s "
+            f"-> vs_baseline = {vs_baseline:.1f}x")
+        ref2 = baseline["configs"].get("aesmc_train_step_T200_B10_K100")
+        if ref2:
+            log(f"train-step speedup: "
+                f"{(1/dt2)/ref2['steps_per_sec']:.1f}x")
+
+    print(json.dumps({
+        "metric": "particle-steps/sec/chip (LGSSM SMC, T=200, B=10, "
+                  "K=10000, systematic)",
+        "value": particle_steps_per_sec,
+        "unit": "particle-steps/s",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

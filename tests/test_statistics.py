@@ -68,12 +68,24 @@ class TestEss:
         np.testing.assert_allclose(np.asarray(statistics.ess(logw)), [1.0],
                                    rtol=1e-4)
 
-    def test_shift_invariance(self):
-        # Reference test_statistics.py:71-115: ESS invariant to +-1e6
-        # log-weight shifts (cancels analytically in the two logsumexps).
+    def test_shift_invariance_f64(self):
+        # Reference test_statistics.py:71-115 verbatim: ESS of
+        # [0.2, 0.3, 0.5] invariant to +-1e6 log-weight shifts; the
+        # reference computes in float64 (torch.from_numpy), so does this.
+        with jax.enable_x64(True):
+            normalized_weight = np.array([0.2, 0.3, 0.5])
+            expected = 1.0 / np.sum(normalized_weight ** 2)
+            for shift in (np.log(0.47), 1e6, -1e6):
+                logw = jnp.asarray(np.log(normalized_weight) + shift)
+                np.testing.assert_allclose(
+                    float(statistics.ess(logw)), expected, atol=1e-7)
+
+    def test_shift_invariance_f32(self):
+        # In f32, use an exactly-representable shift (adding 1e6 rounds
+        # the inputs themselves to a 0.0625 grid).
         logw = jnp.asarray(np.random.randn(3, 20).astype(np.float32))
         base = np.asarray(statistics.ess(logw))
-        for shift in (1e6, -1e6):
+        for shift in (64.0, -64.0):
             shifted = np.asarray(statistics.ess(logw + shift))
             np.testing.assert_allclose(shifted, base, rtol=1e-3)
 
