@@ -167,6 +167,7 @@ def infer(inference_algorithm: str,
           key=None,
           resampling_method: str = "systematic",
           resampling_implementation: str = "auto",
+          resampling_criterion="always",
           mesh=None,
           data_axis: str = "data",
           particle_axis: str = "particle",
@@ -191,6 +192,15 @@ def infer(inference_algorithm: str,
         resampling_implementation: 'auto' | 'xla' | 'pallas', or a callable
             `(log_weight, key) -> indices` (e.g. a shard_map distributed
             resampler from `aesmc_tpu.parallel`).
+        resampling_criterion: 'always' (reference semantics: resample
+            every step) or a float `frac`: ESS-adaptive SMC - each batch
+            row resamples only when its effective sample size drops below
+            `frac * num_particles`, carrying accumulated weights
+            otherwise. The log-Z estimator adds a logmeanexp contribution
+            at each resampling and one final logmeanexp, which reduces
+            exactly to the AESMC estimator for always-resampling and to
+            the IWAE/IS estimator when resampling never triggers. Not in
+            the reference (standard adaptive SMC; smc only).
         mesh: optional `jax.sharding.Mesh`. When given, per-step latents
             and log-weights carry `with_sharding_constraint`s over
             `(data_axis, particle_axis)`, so GSPMD partitions the whole
@@ -245,6 +255,9 @@ def infer(inference_algorithm: str,
     # Two independent PRNG streams per timestep: resampling + proposal.
     step_keys = jax.random.split(key, 2 * num_timesteps).reshape(
         num_timesteps, 2, -1)
+    resolved_impl = resampling.resolve_implementation(
+        (batch_size, num_particles), resampling_method,
+        resampling_implementation)
 
     # ---- t = 0 (hoisted: `time` is the Python int 0, so user code can
     # branch on it statically, as reference models do, e.g.
@@ -260,6 +273,11 @@ def infer(inference_algorithm: str,
     log_weight_0 = _constrain(
         initial_log_prob + emission_log_prob - proposal_log_prob)
 
+    adaptive = is_smc and resampling_criterion != "always"
+    if adaptive:
+        ess_threshold = float(resampling_criterion) * num_particles
+    log_num_particles = _stdmath.log(num_particles)
+
     # ---- t = 1 .. T-1: one scan over time.
     if num_timesteps > 1:
         def step(carry, inputs):
@@ -271,10 +289,41 @@ def infer(inference_algorithm: str,
                 ancestral_index = resampling.sample_ancestral_index(
                     prev_log_weight, keys_t[0],
                     method=resampling_method,
-                    implementation=resampling_implementation)
-                previous_latent = state.resample(prev_latent, ancestral_index)
+                    implementation=resolved_impl)
+                if adaptive:
+                    # Per-batch-row decision: resample only rows whose
+                    # ESS fell below the threshold; others carry weights.
+                    ess = jnp.exp(
+                        2 * jax.nn.logsumexp(prev_log_weight, axis=1) -
+                        jax.nn.logsumexp(2 * prev_log_weight, axis=1))
+                    do = ess < ess_threshold                     # [B]
+                    identity = jnp.broadcast_to(
+                        jnp.arange(num_particles,
+                                   dtype=ancestral_index.dtype),
+                        ancestral_index.shape)
+                    ancestral_index = jnp.where(do[:, None],
+                                                ancestral_index, identity)
+                    contribution = jnp.where(
+                        do,
+                        jax.nn.logsumexp(prev_log_weight, axis=1) -
+                        log_num_particles,
+                        jnp.zeros_like(ess))                     # [B]
+                    base = jnp.where(do[:, None],
+                                     jnp.zeros_like(prev_log_weight),
+                                     prev_log_weight)
+                else:
+                    contribution = (
+                        jax.nn.logsumexp(prev_log_weight, axis=1) -
+                        log_num_particles)
+                    base = jnp.zeros_like(prev_log_weight)
+                previous_latent = resampling.resample_particles(
+                    prev_latent, ancestral_index,
+                    implementation=resolved_impl)
             else:
                 ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
+                contribution = jnp.zeros((batch_size,),
+                                         dtype=log_weight_0.dtype)
+                base = jnp.zeros_like(prev_log_weight)
                 previous_latent = prev_latent
 
             proposal_dist = proposal(previous_latents=[previous_latent],
@@ -290,15 +339,18 @@ def infer(inference_algorithm: str,
                 emission(latents=[latent_t], time=time,
                          previous_observations=obs_seq),
                 state.expand_observation(obs_t, num_particles))
+            increment = transition_lp + emission_lp - proposal_lp
             log_weight_t = _constrain(
-                transition_lp + emission_lp - proposal_lp)
+                base + increment if is_smc else increment)
 
             return ((latent_t, log_weight_t),
-                    (latent_t, log_weight_t, ancestral_index))
+                    (latent_t, log_weight_t, ancestral_index,
+                     contribution))
 
         rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
         times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
-        (last_latent, _), (rest_latents, rest_log_weights, anc) = \
+        (last_latent, _), \
+            (rest_latents, rest_log_weights, anc, contributions) = \
             jax.lax.scan(step, (latent_0, log_weight_0),
                          (rest_obs, times, step_keys[1:]))
         ancestral_indices = anc if is_smc else None
@@ -306,22 +358,29 @@ def infer(inference_algorithm: str,
         last_latent = latent_0
         rest_latents = None
         rest_log_weights = None
+        contributions = jnp.zeros((0, batch_size),
+                                  dtype=log_weight_0.dtype)
         ancestral_indices = (
             jnp.zeros((0, batch_size, num_particles), dtype=jnp.int32)
             if is_smc else None)
 
     original_latents = _stack_time(latent_0, rest_latents)
-    log_weights = _stack_time(log_weight_0, rest_log_weights)  # [T, B, K]
-    log_num_particles = _stdmath.log(num_particles)
+    # [T, B, K]: for smc these are the carried (post-resampling-reset)
+    # weights - identical to the per-step increments under
+    # always-resampling; for is, the per-step increments.
+    log_weights = _stack_time(log_weight_0, rest_log_weights)
 
     # ---- Estimators. AESMC and IWAE differ exactly in where the
     # logsumexp over particles sits relative to the sum over time
-    # (/root/reference/aesmc/inference.py:130-132 vs 156-159).
+    # (/root/reference/aesmc/inference.py:130-132 vs 156-159); the
+    # adaptive estimator adds a logmeanexp term per resampling event and
+    # interpolates between the two.
     if is_smc:
         if return_log_marginal_likelihood:
-            per_step = jax.nn.logsumexp(log_weights, axis=2) \
-                - log_num_particles
-            log_marginal_likelihood = jnp.sum(per_step, axis=0)
+            log_marginal_likelihood = (
+                jnp.sum(contributions, axis=0) +
+                jax.nn.logsumexp(log_weights[-1], axis=1) -
+                log_num_particles)
         else:
             log_marginal_likelihood = None
 

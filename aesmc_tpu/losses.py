@@ -25,6 +25,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
              transition, emission, proposal, key=None,
              resampling_method: str = "systematic",
              resampling_implementation="auto",
+             resampling_criterion="always",
              mesh=None, data_axis: str = "data",
              particle_axis: str = "particle"):
     """Scalar loss -mean(ELBO) for gradient descent.
@@ -64,6 +65,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         key=key,
         resampling_method=resampling_method,
         resampling_implementation=resampling_implementation,
+        resampling_criterion=resampling_criterion,
         mesh=mesh, data_axis=data_axis, particle_axis=particle_axis,
         return_log_marginal_likelihood=True,
         return_latents=False,

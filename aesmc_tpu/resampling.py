@@ -174,20 +174,55 @@ def sample_ancestral_index(log_weight, key, method: str = "systematic",
 
 
 def _auto_implementation(log_weight, method: str) -> str:
-    """Pick pallas on real TPU backends for large K, else plain XLA."""
+    return resolve_implementation(jnp.shape(log_weight), method, "auto")
+
+
+def resolve_implementation(shape, method: str, implementation) -> str:
+    """Resolves 'auto' to 'pallas' (fused kernel, real TPU, large K) or
+    'xla'. Callables and explicit strings pass through."""
+    if callable(implementation) or implementation in ("xla", "pallas"):
+        return implementation
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    if on_tpu and method in ("systematic", "stratified") and \
-            log_weight.shape[-1] >= 4096:
+    if on_tpu and method in METHODS and shape[-1] >= 4096:
         try:
             from .ops import resample_pallas
-            if resample_pallas.AVAILABLE:
+            if resample_pallas.AVAILABLE and \
+                    shape[-1] <= resample_pallas.MAX_KERNEL_PARTICLES:
                 return "pallas"
         except ImportError:
             pass
     return "xla"
+
+
+def resample_particles(value, ancestral_index, implementation="xla"):
+    """Gathers particles by ancestor index, exploiting sortedness.
+
+    All three samplers here emit NONDECREASING indices (systematic and
+    stratified by construction; multinomial returns order statistics), so
+    when `implementation == 'pallas'` the fused sorted-gather kernel
+    replaces XLA's minor-axis gather (~1.25 ms -> merge-scan at
+    [10, 10k] on v5e). Integer or non-float leaves fall back to the XLA
+    gather. For arbitrary (unsorted) indices use `state.resample`.
+    """
+    from . import state as _state
+
+    if implementation != "pallas":
+        return _state.resample(value, ancestral_index)
+
+    from .ops import gather_pallas
+
+    idx = jnp.asarray(ancestral_index)
+
+    def gather(leaf):
+        leaf = jnp.asarray(leaf)
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return _state.resample(leaf, idx)
+        return gather_pallas.gather_sorted_pallas(leaf, idx)
+
+    return jax.tree_util.tree_map(gather, value)
 
 
 def soft_indices_and_weights(log_weight, key, alpha: float = 0.5):

@@ -306,3 +306,76 @@ class TestObservationSequence:
         assert int(np.asarray(t + 1)) == 4
         assert int(np.asarray(1 + t)) == 4
         assert int(np.asarray(t - 1)) == 2
+
+
+class TestAdaptiveResampling:
+    """ESS-adaptive SMC: frac -> inf reduces to always-resample (AESMC
+    estimator); frac -> 0 never resamples and the log-Z estimator equals
+    the IS/IWAE estimator exactly."""
+
+    def _components(self):
+        from aesmc_tpu.models import lgssm
+        from aesmc_tpu import statistics
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.3)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = statistics.sample_from_prior(initial, transition, emission,
+                                              15, 4, KEY)
+        return obs, dict(initial=initial, transition=transition,
+                         emission=emission, proposal=proposal)
+
+    def test_huge_threshold_equals_always(self):
+        obs, comps = self._components()
+        a = inference.infer("smc", obs, num_particles=32, key=KEY,
+                            return_log_marginal_likelihood=True, **comps)
+        b = inference.infer("smc", obs, num_particles=32, key=KEY,
+                            resampling_criterion=1e9,
+                            return_log_marginal_likelihood=True, **comps)
+        np.testing.assert_allclose(
+            np.asarray(a["log_marginal_likelihood"]),
+            np.asarray(b["log_marginal_likelihood"]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a["latents"]),
+                                   np.asarray(b["latents"]), atol=1e-6)
+
+    def test_zero_threshold_equals_is(self):
+        obs, comps = self._components()
+        a = inference.infer("is", obs, num_particles=32, key=KEY,
+                            return_log_marginal_likelihood=True, **comps)
+        b = inference.infer("smc", obs, num_particles=32, key=KEY,
+                            resampling_criterion=0.0,
+                            return_log_marginal_likelihood=True, **comps)
+        np.testing.assert_allclose(
+            np.asarray(a["log_marginal_likelihood"]),
+            np.asarray(b["log_marginal_likelihood"]), rtol=1e-4)
+
+    def test_adaptive_estimator_consistent(self):
+        # The adaptive log-Z estimate should land near the exact log-Z.
+        from aesmc_tpu.models import kalman
+        obs, comps = self._components()
+        obs_np = np.asarray(obs)
+        exact = np.array([
+            kalman.kalman_filter(
+                obs_np[:, b],
+                kalman.KalmanParams(0.0, 1.0, 0.9, 0.0, 1.0,
+                                    1.0, 0.0, 0.3 ** 2))[4]
+            for b in range(obs_np.shape[1])])
+        est = inference.infer(
+            "smc", obs, num_particles=2048, key=KEY,
+            resampling_criterion=0.5,
+            return_log_marginal_likelihood=True,
+            **comps)["log_marginal_likelihood"]
+        np.testing.assert_allclose(np.asarray(est), exact, rtol=0.05)
+
+    def test_adaptive_training_works(self):
+        from aesmc_tpu import losses
+        obs, comps = self._components()
+
+        def loss_fn(tr):
+            return losses.get_loss(
+                obs, 16, "aesmc", comps["initial"], tr, comps["emission"],
+                comps["proposal"], key=KEY, resampling_criterion=0.5)
+
+        g = jax.grad(loss_fn)(comps["transition"])
+        assert np.isfinite(float(g.mult))
+        assert abs(float(g.mult)) > 0
