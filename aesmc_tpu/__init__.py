@@ -9,16 +9,22 @@ resampling variants, mesh parallelism, checkpointing, and benchmarks.
 
 __version__ = "0.1.0"
 
+from . import checkpoint
 from . import distributions
 from . import inference
 from . import losses
 from . import math
+from . import models
+from . import parallel
+from . import profiling
 from . import resampling
 from . import state
 from . import statistics
 from . import train
+from . import utils
 
 __all__ = [
-    "distributions", "inference", "losses", "math", "resampling", "state",
-    "statistics", "train", "__version__",
+    "checkpoint", "distributions", "inference", "losses", "math", "models",
+    "parallel", "profiling", "resampling", "state", "statistics", "train",
+    "utils", "__version__",
 ]

@@ -168,6 +168,7 @@ def infer(inference_algorithm: str,
           resampling_method: str = "systematic",
           resampling_implementation: str = "auto",
           resampling_criterion="always",
+          remat: bool = False,
           mesh=None,
           data_axis: str = "data",
           particle_axis: str = "particle",
@@ -201,6 +202,11 @@ def infer(inference_algorithm: str,
             exactly to the AESMC estimator for always-resampling and to
             the IWAE/IS estimator when resampling never triggers. Not in
             the reference (standard adaptive SMC; smc only).
+        remat: rematerialize the scan body on the backward pass
+            (`jax.checkpoint`): training activation memory drops from
+            O(T) to O(1) per step at the cost of recompute - for long
+            sequences (SURVEY.md S5.7a: backprop through the whole
+            T-step filter is the reference's memory pathology).
         mesh: optional `jax.sharding.Mesh`. When given, per-step latents
             and log-weights carry `with_sharding_constraint`s over
             `(data_axis, particle_axis)`, so GSPMD partitions the whole
@@ -285,37 +291,42 @@ def infer(inference_algorithm: str,
             obs_t, t, keys_t = inputs
             time = TimeIndex(t)
 
-            if is_smc:
-                ancestral_index = resampling.sample_ancestral_index(
+            if is_smc and not adaptive:
+                # Fused path: indices + particle gather in one kernel
+                # when the pallas implementation is active.
+                ancestral_index, previous_latent = \
+                    resampling.sample_ancestral_index_and_resample(
+                        prev_log_weight, keys_t[0], prev_latent,
+                        method=resampling_method,
+                        implementation=resolved_impl)
+                contribution = (
+                    jax.nn.logsumexp(prev_log_weight, axis=1) -
+                    log_num_particles)
+                base = jnp.zeros_like(prev_log_weight)
+            elif is_smc:
+                # Adaptive: per-batch-row decision - resample only rows
+                # whose ESS fell below the threshold; others carry
+                # accumulated weights and keep identity ancestry.
+                sampled = resampling.sample_ancestral_index(
                     prev_log_weight, keys_t[0],
                     method=resampling_method,
                     implementation=resolved_impl)
-                if adaptive:
-                    # Per-batch-row decision: resample only rows whose
-                    # ESS fell below the threshold; others carry weights.
-                    ess = jnp.exp(
-                        2 * jax.nn.logsumexp(prev_log_weight, axis=1) -
-                        jax.nn.logsumexp(2 * prev_log_weight, axis=1))
-                    do = ess < ess_threshold                     # [B]
-                    identity = jnp.broadcast_to(
-                        jnp.arange(num_particles,
-                                   dtype=ancestral_index.dtype),
-                        ancestral_index.shape)
-                    ancestral_index = jnp.where(do[:, None],
-                                                ancestral_index, identity)
-                    contribution = jnp.where(
-                        do,
-                        jax.nn.logsumexp(prev_log_weight, axis=1) -
-                        log_num_particles,
-                        jnp.zeros_like(ess))                     # [B]
-                    base = jnp.where(do[:, None],
-                                     jnp.zeros_like(prev_log_weight),
-                                     prev_log_weight)
-                else:
-                    contribution = (
-                        jax.nn.logsumexp(prev_log_weight, axis=1) -
-                        log_num_particles)
-                    base = jnp.zeros_like(prev_log_weight)
+                ess = jnp.exp(
+                    2 * jax.nn.logsumexp(prev_log_weight, axis=1) -
+                    jax.nn.logsumexp(2 * prev_log_weight, axis=1))
+                do = ess < ess_threshold                         # [B]
+                identity = jnp.broadcast_to(
+                    jnp.arange(num_particles, dtype=sampled.dtype),
+                    sampled.shape)
+                ancestral_index = jnp.where(do[:, None], sampled, identity)
+                contribution = jnp.where(
+                    do,
+                    jax.nn.logsumexp(prev_log_weight, axis=1) -
+                    log_num_particles,
+                    jnp.zeros_like(ess))                         # [B]
+                base = jnp.where(do[:, None],
+                                 jnp.zeros_like(prev_log_weight),
+                                 prev_log_weight)
                 previous_latent = resampling.resample_particles(
                     prev_latent, ancestral_index,
                     implementation=resolved_impl)
@@ -349,9 +360,10 @@ def infer(inference_algorithm: str,
 
         rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
         times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
+        body = jax.checkpoint(step) if remat else step
         (last_latent, _), \
             (rest_latents, rest_log_weights, anc, contributions) = \
-            jax.lax.scan(step, (latent_0, log_weight_0),
+            jax.lax.scan(body, (latent_0, log_weight_0),
                          (rest_obs, times, step_keys[1:]))
         ancestral_indices = anc if is_smc else None
     else:

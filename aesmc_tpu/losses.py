@@ -14,6 +14,7 @@ SURVEY.md S2.4 item 3).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import inference
@@ -75,3 +76,36 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         return_ancestral_indices=False)
     elbo = inference_result["log_marginal_likelihood"]
     return -jnp.mean(elbo)
+
+
+def get_loss_and_metrics(observations, num_particles: int, algorithm: str,
+                         initial, transition, emission, proposal, key=None,
+                         **infer_kwargs):
+    """Like `get_loss`, but also returns a metrics dict:
+
+    - 'elbo': mean ELBO over the batch,
+    - 'ess': mean effective sample size of the final particle weights
+      (the reference exposes ess only as a library function,
+      /root/reference/aesmc/statistics.py:79-104; here it's wired into
+      the training loop's observability).
+    """
+    if algorithm == "iwae":
+        inference_algorithm = "is"
+    elif algorithm == "aesmc":
+        inference_algorithm = "smc"
+    else:
+        raise ValueError(
+            f"algorithm must be one of {ALGORITHMS}. currently = {algorithm}")
+
+    result = inference.infer(
+        inference_algorithm=inference_algorithm,
+        observations=observations, initial=initial, transition=transition,
+        emission=emission, proposal=proposal, num_particles=num_particles,
+        key=key, return_log_marginal_likelihood=True, return_latents=False,
+        return_log_weight=True, **infer_kwargs)
+    elbo = jnp.mean(result["log_marginal_likelihood"])
+    log_weight = result["log_weight"]
+    log_ess = 2 * jax.nn.logsumexp(log_weight, axis=1) - \
+        jax.nn.logsumexp(2 * log_weight, axis=1)
+    metrics = {"elbo": elbo, "ess": jnp.mean(jnp.exp(log_ess))}
+    return -elbo, metrics

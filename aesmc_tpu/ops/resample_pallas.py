@@ -84,79 +84,152 @@ def _row_prefix(x):
     return x
 
 
-def _resample_kernel(logw_ref, pos_ref, out_ref, cum_ref):
-    """One batch row. logw/pos/out refs: [R, 128] tiles (row-major over
-    the K axis); cum_ref: VMEM scratch [R, 128]."""
-    r = logw_ref.shape[0]
-    w_tile = MERGE_ROWS
-    n_tiles = r // w_tile
-    tile_k = w_tile * LANE
+def _make_resample_kernel(num_values: int):
+    """Builds the fused kernel for `num_values` gathered value arrays.
 
-    # ---- 1. Stable weights.
-    w = jnp.exp(logw_ref[:, :] - jnp.max(logw_ref[:, :]))
+    Refs: logw [R,128], pos [R,128], num_values x values [R,128], then
+    outputs idx [R,128] i32 + num_values x resampled values [R,128], then
+    scratch cum [R,128].
 
-    # ---- 2. Exact blocked cumulative sum (VPU).
-    within = _lane_prefix(w)                              # [R, 128]
-    totals = within[:, LANE - 1:LANE]                     # [R, 1]
-    row_prefix = _row_prefix(totals)                      # [R, 1] incl.
-    total = row_prefix[r - 1, 0]
-    cum_ref[:, :] = (within + row_prefix - totals) / total
+    The gather rides the SAME merge as the index computation: the
+    one-hot ancestor selector is sel[i, j] = (cum_{i-1} <= pos_j) AND
+    (cum_i > pos_j) - both factors come from the comparisons already
+    needed for the counts, plus a one-step roll of the CDF column.
+    Exactly one source matches each output slot, so values pass through
+    exactly (VPU select-reduce, no MXU rounding).
+    """
 
-    # ---- 3-4. Two-cursor merge over [w_tile, 128] tiles.
-    def trip(_, carry):
-        p, rr, acc = carry
-        active = p < n_tiles
+    def kernel(*refs):
+        logw_ref, pos_ref = refs[0], refs[1]
+        v_refs = refs[2:2 + num_values]
+        out_ref = refs[2 + num_values]
+        vout_refs = refs[3 + num_values:3 + 2 * num_values]
+        cum_ref = refs[3 + 2 * num_values]
 
-        p_safe = jnp.minimum(p, n_tiles - 1)
-        pos_tile = pos_ref[pl.ds(p_safe * w_tile, w_tile), :]
-        cum_tile = cum_ref[pl.ds(rr * w_tile, w_tile), :]
+        r = logw_ref.shape[0]
+        w_tile = MERGE_ROWS
+        n_tiles = r // w_tile
+        tile_k = w_tile * LANE
 
-        # cnt[a, j] = #{i in this CDF tile: cum_i <= pos_tile[a, j]},
-        # as W x W pairwise [128, 128] compare-reduces (2-D only: Mosaic
-        # rejects the 3-D broadcast formulation).
-        cum_cols = [cum_tile[b:b + 1, :].reshape(LANE, 1)
-                    for b in range(w_tile)]
-        cnt_rows = []
-        for a in range(w_tile):
-            pos_row = pos_tile[a:a + 1, :]                   # [1, 128]
-            c = jnp.zeros((1, LANE), jnp.int32)
+        # ---- 1. Stable weights.
+        w = jnp.exp(logw_ref[:, :] - jnp.max(logw_ref[:, :]))
+
+        # ---- 2. Exact blocked cumulative sum (VPU).
+        within = _lane_prefix(w)                              # [R, 128]
+        totals = within[:, LANE - 1:LANE]                     # [R, 1]
+        row_prefix = _row_prefix(totals)                      # [R, 1]
+        total = row_prefix[r - 1, 0]
+        cum_ref[:, :] = (within + row_prefix - totals) / total
+
+        # ---- 3-4. Two-cursor merge over [w_tile, 128] tiles.
+        def trip(_, carry):
+            p, rr, acc, vaccs = carry
+            active = p < n_tiles
+
+            p_safe = jnp.minimum(p, n_tiles - 1)
+            pos_tile = pos_ref[pl.ds(p_safe * w_tile, w_tile), :]
+            cum_tile = cum_ref[pl.ds(rr * w_tile, w_tile), :]
+            v_tiles = [vr[pl.ds(rr * w_tile, w_tile), :] for vr in v_refs]
+
+            # CDF value just before this tile (0 for the first tile).
+            rr_prev = jnp.maximum(rr * w_tile - 1, 0)
+            boundary = jnp.where(
+                rr > 0, cum_ref[pl.ds(rr_prev, 1), :][0, LANE - 1], 0.0)
+
+            row0 = jax.lax.broadcasted_iota(
+                jnp.int32, (LANE, 1), 0) == 0
+            cum_cols = []
+            prev_cols = []
+            last = boundary
             for b in range(w_tile):
-                cmp = cum_cols[b] <= pos_row                 # [128, 128]
-                c = c + jnp.sum(cmp.astype(jnp.int32), axis=0,
-                                keepdims=True)
-            cnt_rows.append(c)
-        cnt = jnp.concatenate(cnt_rows, axis=0)              # [W, 128]
+                col = cum_tile[b:b + 1, :].reshape(LANE, 1)
+                rolled = pltpu.roll(col, 1, axis=0)
+                prev_cols.append(jnp.where(row0, last, rolled))
+                cum_cols.append(col)
+                last = cum_tile[b, LANE - 1]
+            v_cols = [[vt[b:b + 1, :].reshape(LANE, 1)
+                       for b in range(w_tile)] for vt in v_tiles]
 
-        cdf_tile_max = cum_tile[w_tile - 1, LANE - 1]
-        pos_tile_max = pos_tile[w_tile - 1, LANE - 1]
-        row_done = jnp.logical_and(cdf_tile_max <= pos_tile_max,
-                                   rr < n_tiles - 1)
+            cnt_rows = []
+            vrows = [[] for _ in range(num_values)]
+            for a in range(w_tile):
+                pos_row = pos_tile[a:a + 1, :]                # [1, 128]
+                c = jnp.zeros((1, LANE), jnp.int32)
+                vrow = [jnp.zeros((1, LANE), jnp.float32)
+                        for _ in range(num_values)]
+                for b in range(w_tile):
+                    le = cum_cols[b] <= pos_row               # [128, 128]
+                    c = c + jnp.sum(le.astype(jnp.int32), axis=0,
+                                    keepdims=True)
+                    sel = jnp.logical_and(prev_cols[b] <= pos_row,
+                                          jnp.logical_not(le))
+                    for q in range(num_values):
+                        vrow[q] = vrow[q] + jnp.sum(
+                            jnp.where(sel, v_cols[q][b], 0.0),
+                            axis=0, keepdims=True)
+                cnt_rows.append(c)
+                for q in range(num_values):
+                    vrows[q].append(vrow[q])
+            cnt = jnp.concatenate(cnt_rows, axis=0)           # [W, 128]
+            vcnt = [jnp.concatenate(vr, axis=0) for vr in vrows]
 
-        @pl.when(jnp.logical_and(active, jnp.logical_not(row_done)))
-        def _():
-            out_ref[pl.ds(p_safe * w_tile, w_tile), :] = acc + cnt
+            cdf_tile_max = cum_tile[w_tile - 1, LANE - 1]
+            pos_tile_max = pos_tile[w_tile - 1, LANE - 1]
+            row_done = jnp.logical_and(cdf_tile_max <= pos_tile_max,
+                                       rr < n_tiles - 1)
+            finalize = jnp.logical_and(active, jnp.logical_not(row_done))
 
-        # Finalizing p: CDF tiles 0..rr-1 were fully consumed (their
-        # maxima are below every position of the NEXT tile), so the next
-        # accumulator starts at tile_k * rr.
-        new_acc = jnp.where(row_done, acc + cnt,
-                            (tile_k * rr) * jnp.ones_like(acc))
-        new_p = jnp.where(jnp.logical_and(active,
-                                          jnp.logical_not(row_done)),
-                          p + 1, p)
-        new_r = jnp.where(jnp.logical_and(active, row_done), rr + 1, rr)
-        new_acc = jnp.where(active, new_acc, acc)
-        return new_p, new_r, new_acc
+            @pl.when(finalize)
+            def _():
+                out_ref[pl.ds(p_safe * w_tile, w_tile), :] = acc + cnt
+                for q in range(num_values):
+                    vout_refs[q][pl.ds(p_safe * w_tile, w_tile), :] = \
+                        vaccs[q] + vcnt[q]
 
-    acc0 = jnp.zeros((w_tile, LANE), jnp.int32)
-    jax.lax.fori_loop(0, 2 * n_tiles, trip,
-                      (jnp.int32(0), jnp.int32(0), acc0))
+            # Finalizing p: CDF tiles 0..rr-1 were fully consumed, so
+            # the next count accumulator starts at tile_k * rr; value
+            # accumulators restart at 0 (consumed tiles cannot contain
+            # the ancestor of any later position).
+            new_acc = jnp.where(row_done, acc + cnt,
+                                (tile_k * rr) * jnp.ones_like(acc))
+            new_vaccs = tuple(
+                jnp.where(row_done, vaccs[q] + vcnt[q],
+                          jnp.zeros_like(vaccs[q]))
+                for q in range(num_values))
+            new_p = jnp.where(finalize, p + 1, p)
+            new_r = jnp.where(jnp.logical_and(active, row_done),
+                              rr + 1, rr)
+            new_acc = jnp.where(active, new_acc, acc)
+            new_vaccs = tuple(jnp.where(active, nv, v)
+                              for nv, v in zip(new_vaccs, vaccs))
+            return new_p, new_r, new_acc, new_vaccs
+
+        acc0 = jnp.zeros((w_tile, LANE), jnp.int32)
+        vacc0 = tuple(jnp.zeros((w_tile, LANE), jnp.float32)
+                      for _ in range(num_values))
+        jax.lax.fori_loop(0, 2 * n_tiles, trip,
+                          (jnp.int32(0), jnp.int32(0), acc0, vacc0))
+
+    return kernel
 
 
-def searchsorted_cdf_pallas(log_weight, pos, *, interpret: bool = False):
+# Flipped by tests to run kernels through the Pallas interpreter on CPU.
+FORCE_INTERPRET = False
+
+
+def searchsorted_cdf_pallas(log_weight, pos, values=(), *,
+                            interpret: bool = False):
     """idx[b, j] = #{i: normalized_cumsum(log_weight)[b, i] <= pos[b, j]},
-    fused in one kernel. `pos` must be sorted along the last axis."""
+    fused in one kernel; optionally gathers `values` (a sequence of
+    `[B, K]` float arrays) at those indices in the same merge pass.
+
+    `pos` must be sorted along the last axis. Returns idx `[B, K]` int32,
+    or (idx, [gathered...]) when values are given.
+    """
+    interpret = interpret or FORCE_INTERPRET
     batch_size, k = log_weight.shape
+    values = list(values)
+    num_values = len(values)
     k_pad = _padded_k(k)
     if k_pad != k:
         log_weight = jnp.pad(log_weight, ((0, 0), (0, k_pad - k)),
@@ -164,36 +237,39 @@ def searchsorted_cdf_pallas(log_weight, pos, *, interpret: bool = False):
         # Padded positions sit above every CDF value; their outputs are
         # sliced off below.
         pos = jnp.pad(pos, ((0, 0), (0, k_pad - k)), constant_values=2.0)
+        values = [jnp.pad(v, ((0, 0), (0, k_pad - k))) for v in values]
     r = k_pad // LANE
 
     tiles = lambda x: x.reshape(batch_size * r, LANE)
-    out = pl.pallas_call(
-        _resample_kernel,
+    spec = pl.BlockSpec((r, LANE), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    outputs = pl.pallas_call(
+        _make_resample_kernel(num_values),
         grid=(batch_size,),
-        in_specs=[
-            pl.BlockSpec((r, LANE), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, LANE), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((r, LANE), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch_size * r, LANE), jnp.int32),
+        in_specs=[spec] * (2 + num_values),
+        out_specs=[spec] * (1 + num_values),
+        out_shape=(
+            [jax.ShapeDtypeStruct((batch_size * r, LANE), jnp.int32)] +
+            [jax.ShapeDtypeStruct((batch_size * r, LANE), jnp.float32)
+             for _ in range(num_values)]),
         scratch_shapes=[pltpu.VMEM((r, LANE), jnp.float32)],
         interpret=interpret,
-    )(tiles(log_weight.astype(jnp.float32)), tiles(pos.astype(jnp.float32)))
-    return jnp.clip(out.reshape(batch_size, k_pad)[:, :k], 0, k - 1)
+    )(tiles(log_weight.astype(jnp.float32)),
+      tiles(pos.astype(jnp.float32)),
+      *[tiles(jnp.asarray(v).astype(jnp.float32)) for v in values])
+    idx = jnp.clip(outputs[0].reshape(batch_size, k_pad)[:, :k], 0, k - 1)
+    if not num_values:
+        return idx
+    gathered = [o.reshape(batch_size, k_pad)[:, :k] for o in outputs[1:]]
+    return idx, gathered
 
 
-def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
-                                  interpret: bool = False):
-    """Drop-in fused-kernel version of
-    `aesmc_tpu.resampling.sample_ancestral_index` (same PRNG stream:
-    positions are drawn exactly as in the XLA implementations)."""
+def resampling_positions(log_weight, key, method: str = "systematic"):
+    """The sorted inverse-CDF query positions for each variant, drawn
+    with the same PRNG stream as the XLA implementations."""
     from .. import resampling
 
-    log_weight = jnp.asarray(log_weight)
-    batch_size, k = log_weight.shape
+    batch_size, k = jnp.shape(log_weight)
     if k > MAX_KERNEL_PARTICLES:
         raise ValueError(
             f"pallas resampler supports K <= {MAX_KERNEL_PARTICLES}; "
@@ -201,13 +277,60 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
     dtype = jnp.result_type(float)
     if method == "systematic":
         u = jax.random.uniform(key, (batch_size, 1), dtype=dtype)
-        pos = (u + jnp.arange(k, dtype=dtype)) / k
+        return (u + jnp.arange(k, dtype=dtype)) / k
     elif method == "stratified":
         u = jax.random.uniform(key, (batch_size, k), dtype=dtype)
-        pos = (u + jnp.arange(k, dtype=dtype)) / k
+        return (u + jnp.arange(k, dtype=dtype)) / k
     elif method == "multinomial":
-        pos = resampling._multinomial_positions(log_weight, key)
-    else:
-        raise ValueError(f"unsupported method: {method}")
+        return resampling._multinomial_positions(log_weight, key)
+    raise ValueError(f"unsupported method: {method}")
+
+
+def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
+                                  interpret: bool = False):
+    """Drop-in fused-kernel version of
+    `aesmc_tpu.resampling.sample_ancestral_index` (same PRNG stream:
+    positions are drawn exactly as in the XLA implementations)."""
+    log_weight = jnp.asarray(log_weight)
+    pos = resampling_positions(log_weight, key, method)
     return searchsorted_cdf_pallas(jax.lax.stop_gradient(log_weight), pos,
                                    interpret=interpret)
+
+
+@jax.custom_vjp
+def resample_and_gather(log_weight, pos, columns):
+    """Differentiable fused resample+gather: (idx, gathered columns).
+
+    Forward runs the fused kernel. Gradients flow through the gathered
+    VALUES only (the reference's semantics: `torch.gather` is
+    differentiable in its source, ancestor indices and weights are
+    detached, /root/reference/aesmc/inference.py:102-104,254).
+    """
+    idx, gathered = searchsorted_cdf_pallas(log_weight, pos, columns)
+    return idx, tuple(gathered)
+
+
+def _rg_fwd(log_weight, pos, columns):
+    idx, gathered = searchsorted_cdf_pallas(log_weight, pos, columns)
+    return (idx, tuple(gathered)), (idx, len(columns))
+
+
+def _rg_bwd(residuals, cotangents):
+    idx, num_columns = residuals
+    _, g_gathered = cotangents
+    k = idx.shape[1]
+
+    # d/d source of a gather is a segment-sum of output cotangents; idx
+    # is sorted so XLA's scatter-add takes its sorted fast path. Only the
+    # large-K pallas route pays this (small-K training uses XLA both
+    # ways); a transposed-merge pallas backward is a future optimization.
+    def seg(g):
+        return jax.vmap(
+            lambda gr, ir: jax.ops.segment_sum(gr, ir, num_segments=k)
+        )(g, idx)
+
+    g_columns = tuple(seg(jnp.asarray(g)) for g in g_gathered)
+    return None, None, g_columns
+
+
+resample_and_gather.defvjp(_rg_fwd, _rg_bwd)

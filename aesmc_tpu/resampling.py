@@ -197,6 +197,79 @@ def resolve_implementation(shape, method: str, implementation) -> str:
     return "xla"
 
 
+def _split_columns(value):
+    """Flattens a pytree of `[B, K, ...]` float arrays into a list of
+    `[B, K]` columns plus a rebuild function. Returns (None, None) if any
+    leaf is non-float (not fusable into the kernel)."""
+    leaves, treedef = jax.tree_util.tree_flatten(value)
+    columns = []
+    shapes = []
+    for leaf in leaves:
+        leaf = jnp.asarray(leaf)
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return None, None
+        shapes.append(leaf.shape)
+        b, k = leaf.shape[:2]
+        flat = leaf.reshape(b, k, -1)
+        for d in range(flat.shape[-1]):
+            columns.append(flat[:, :, d])
+
+    def rebuild(gathered):
+        out_leaves = []
+        i = 0
+        for shape in shapes:
+            d = 1
+            for s in shape[2:]:
+                d *= s
+            stacked = jnp.stack(gathered[i:i + d], axis=-1)
+            out_leaves.append(stacked.reshape(shape))
+            i += d
+        return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+    return columns, rebuild
+
+
+# Max feature columns fused into the resampling kernel (compile size and
+# VMEM grow with it); beyond this the separate sorted-gather kernel runs.
+MAX_FUSED_COLUMNS = 8
+
+
+def sample_ancestral_index_and_resample(log_weight, key, value,
+                                        method: str = "systematic",
+                                        implementation="auto"):
+    """Samples ancestor indices AND redistributes `value` in one shot.
+
+    On the pallas path with few feature columns, the particle gather is
+    FUSED into the resampling kernel's merge pass (one kernel instead of
+    resample + gather); otherwise indices and gather run separately.
+
+    Returns (indices `[B, K]` int32 - detached, resampled value pytree).
+    """
+    if method not in _VARIANTS:
+        raise ValueError(
+            f"method must be one of {METHODS}. currently = {method}")
+    log_weight = jnp.asarray(log_weight)
+    _check_nan_eager(log_weight)
+    log_weight = jax.lax.stop_gradient(log_weight)
+    if implementation == "auto":
+        implementation = _auto_implementation(log_weight, method)
+
+    if implementation == "pallas":
+        columns, rebuild = _split_columns(value)
+        if columns is not None and len(columns) <= MAX_FUSED_COLUMNS:
+            from .ops import resample_pallas
+            pos = resample_pallas.resampling_positions(
+                log_weight, key, method)
+            idx, gathered = resample_pallas.resample_and_gather(
+                log_weight, pos, tuple(columns))
+            return idx, rebuild(list(gathered))
+
+    idx = sample_ancestral_index(log_weight, key, method=method,
+                                 implementation=implementation)
+    return idx, resample_particles(value, idx,
+                                   implementation=implementation)
+
+
 def resample_particles(value, ancestral_index, implementation="xla"):
     """Gathers particles by ancestor index, exploiting sortedness.
 

@@ -55,26 +55,42 @@ def make_train_step(num_particles: int, algorithm: str,
                     optimizer: optax.GradientTransformation,
                     resampling_method: str = "systematic",
                     resampling_implementation: str = "auto",
+                    with_metrics: bool = False,
                     jit: bool = True) -> Callable:
     """Builds `(components, opt_state, observations, key) ->
-    (components, opt_state, loss)` - one fused optimization step.
+    (components, opt_state, loss[, metrics])` - one fused optimization
+    step (loss + backward pass + optax update in a single XLA program).
 
     `components` is the tuple (initial, transition, emission, proposal);
-    None entries are allowed (e.g. no transition for T=1 models).
+    None entries are allowed (e.g. no transition for T=1 models). With
+    `with_metrics=True` the step also returns {'elbo', 'ess',
+    'grad_norm'} (all device scalars; fetch them outside the hot loop).
     """
 
     def step(components, opt_state, observations, key):
         def loss_fn(components_):
             initial, transition, emission, proposal = components_
-            return losses.get_loss(
+            if with_metrics:
+                loss, metrics = losses.get_loss_and_metrics(
+                    observations, num_particles, algorithm, initial,
+                    transition, emission, proposal, key=key,
+                    resampling_method=resampling_method,
+                    resampling_implementation=resampling_implementation)
+                return loss, metrics
+            loss = losses.get_loss(
                 observations, num_particles, algorithm, initial, transition,
                 emission, proposal, key=key,
                 resampling_method=resampling_method,
                 resampling_implementation=resampling_implementation)
+            return loss, {}
 
-        loss, grads = jax.value_and_grad(loss_fn)(components)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(components)
         updates, opt_state = optimizer.update(grads, opt_state, components)
         components = optax.apply_updates(components, updates)
+        if with_metrics:
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return components, opt_state, loss, metrics
         return components, opt_state, loss
 
     # No buffer donation: callers may legitimately hold references to the
@@ -96,7 +112,10 @@ def train(dataloader: Iterable,
           callback: Optional[Callable] = None,
           key=None,
           resampling_method: str = "systematic",
-          resampling_implementation: str = "auto") -> Components:
+          resampling_implementation: str = "auto",
+          checkpoint_dir=None,
+          checkpoint_interval: Optional[int] = None,
+          resume: bool = False) -> Components:
     """Trains the four components; returns the updated tuple.
 
     Signature parity with /root/reference/aesmc/train.py:22-41 (Adam
@@ -115,10 +134,33 @@ def train(dataloader: Iterable,
 
     components = (initial, transition, emission, proposal)
     opt_state = optimizer.init(components)
+    global_step = 0
+
+    if checkpoint_dir is not None and resume:
+        import pathlib
+
+        from . import checkpoint as ckpt
+        if pathlib.Path(checkpoint_dir).exists():
+            template = ckpt.TrainState(components, opt_state, key, 0)
+            state = ckpt.restore(checkpoint_dir, template)
+            components, opt_state = state.components, state.opt_state
+            key, global_step = state.key, state.step
+
     step = make_train_step(
         num_particles, algorithm, optimizer,
         resampling_method=resampling_method,
         resampling_implementation=resampling_implementation)
+
+    def maybe_checkpoint(force=False):
+        if checkpoint_dir is None:
+            return
+        due = checkpoint_interval is not None and \
+            global_step % checkpoint_interval == 0 and global_step > 0
+        if force or due:
+            from . import checkpoint as ckpt
+            ckpt.save(checkpoint_dir,
+                      ckpt.TrainState(components, opt_state, key,
+                                      global_step))
 
     for epoch_idx in range(num_epochs):
         for epoch_iteration_idx, observations in enumerate(dataloader):
@@ -128,10 +170,13 @@ def train(dataloader: Iterable,
             key, subkey = jax.random.split(key)
             components, opt_state, loss = step(
                 components, opt_state, observations, subkey)
+            global_step += 1
 
             if callback is not None:
                 callback(epoch_idx, epoch_iteration_idx, loss, *components)
+            maybe_checkpoint()
 
+    maybe_checkpoint(force=checkpoint_dir is not None)
     return components
 
 

@@ -379,3 +379,36 @@ class TestAdaptiveResampling:
         g = jax.grad(loss_fn)(comps["transition"])
         assert np.isfinite(float(g.mult))
         assert abs(float(g.mult)) > 0
+
+
+class TestRemat:
+    def test_remat_matches_and_differentiates(self):
+        from aesmc_tpu import losses
+        from aesmc_tpu.models import lgssm
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.3)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = statistics.sample_from_prior(initial, transition, emission,
+                                              12, 3, KEY)
+        a = inference.infer("smc", obs, initial, transition, emission,
+                            proposal, 16, key=KEY,
+                            return_log_marginal_likelihood=True)
+        b = inference.infer("smc", obs, initial, transition, emission,
+                            proposal, 16, key=KEY, remat=True,
+                            return_log_marginal_likelihood=True)
+        np.testing.assert_allclose(np.asarray(a["log_marginal_likelihood"]),
+                                   np.asarray(b["log_marginal_likelihood"]),
+                                   rtol=1e-5)
+
+        def loss_fn(tr, remat):
+            r = inference.infer("smc", obs, initial, tr, emission, proposal,
+                                16, key=KEY, remat=remat,
+                                return_log_marginal_likelihood=True,
+                                return_latents=False)
+            return -jnp.mean(r["log_marginal_likelihood"])
+
+        g_plain = jax.grad(lambda t: loss_fn(t, False))(transition)
+        g_remat = jax.grad(lambda t: loss_fn(t, True))(transition)
+        np.testing.assert_allclose(float(g_plain.mult),
+                                   float(g_remat.mult), rtol=1e-4)

@@ -60,3 +60,73 @@ def test_too_many_particles_raises():
     lw = jnp.zeros((1, resample_pallas.MAX_KERNEL_PARTICLES + 128))
     with pytest.raises(ValueError, match="shard the particle axis"):
         resample_pallas.sample_ancestral_index_pallas(lw, KEY)
+
+
+class TestFusedGather:
+    """resample_and_gather: indices + particle values in one merge pass,
+    with a custom VJP matching take_along_axis's gradient."""
+
+    def setup_method(self):
+        resample_pallas.FORCE_INTERPRET = True
+
+    def teardown_method(self):
+        resample_pallas.FORCE_INTERPRET = False
+
+    def test_forward_matches_gather(self):
+        rng = np.random.RandomState(0)
+        lw = jnp.asarray(rng.randn(3, 1024).astype(np.float32))
+        cols = tuple(jnp.asarray(rng.randn(3, 1024).astype(np.float32))
+                     for _ in range(2))
+        pos = resample_pallas.resampling_positions(lw, KEY, "systematic")
+        idx, gathered = resample_pallas.resample_and_gather(lw, pos, cols)
+        for c, g in zip(cols, gathered):
+            want = np.take_along_axis(np.asarray(c), np.asarray(idx),
+                                      axis=1)
+            np.testing.assert_array_equal(np.asarray(g), want)
+
+    def test_vjp_matches_take_along_axis(self):
+        rng = np.random.RandomState(1)
+        lw = jnp.asarray(rng.randn(2, 512).astype(np.float32))
+        col = jnp.asarray(rng.randn(2, 512).astype(np.float32))
+        pos = resample_pallas.resampling_positions(lw, KEY, "systematic")
+        cot = jnp.asarray(rng.randn(2, 512).astype(np.float32))
+
+        def fused(c):
+            _, gathered = resample_pallas.resample_and_gather(
+                lw, pos, (c,))
+            return jnp.sum(gathered[0] * cot)
+
+        idx = resample_pallas.searchsorted_cdf_pallas(lw, pos)
+
+        def reference(c):
+            return jnp.sum(jnp.take_along_axis(c, idx, axis=1) * cot)
+
+        g_fused = jax.grad(fused)(col)
+        g_ref = jax.grad(reference)(col)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   atol=1e-5)
+
+    def test_engine_fused_path_matches_xla(self):
+        """infer with implementation='pallas' (interpreted) must equal
+        the 'xla' implementation bit-for-bit at small K."""
+        from aesmc_tpu import inference, statistics
+        from aesmc_tpu.models import lgssm
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.3)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = statistics.sample_from_prior(initial, transition, emission,
+                                              8, 2, KEY)
+        results = {}
+        for impl in ("xla", "pallas"):
+            results[impl] = inference.infer(
+                "smc", obs, initial, transition, emission, proposal, 256,
+                key=KEY, resampling_implementation=impl,
+                return_log_marginal_likelihood=True)
+        np.testing.assert_allclose(
+            np.asarray(results["xla"]["log_marginal_likelihood"]),
+            np.asarray(results["pallas"]["log_marginal_likelihood"]),
+            rtol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(results["xla"]["latents"]),
+            np.asarray(results["pallas"]["latents"]), atol=1e-5)

@@ -177,3 +177,53 @@ class TestDictObservations:
         assert np.isfinite(np.asarray(
             result["log_marginal_likelihood"])).all()
         assert result["latents"].shape == (5, 3, 8)
+
+
+class TestMetricsStep:
+    def test_with_metrics(self):
+        import optax as _optax
+        from aesmc_tpu import train as _train
+        from aesmc_tpu.models import lgssm as _lgssm
+        from aesmc_tpu import statistics as _stats
+        initial = _lgssm.Initial(0.0, 1.0)
+        transition = _lgssm.Transition.create(0.9, 1.0)
+        emission = _lgssm.Emission.create(1.0, 0.2)
+        proposal = _lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = _stats.sample_from_prior(initial, transition, emission,
+                                          6, 4, KEY)
+        opt = _optax.adam(1e-2)
+        comps = (initial, transition, emission, proposal)
+        step = _train.make_train_step(16, "aesmc", opt, with_metrics=True)
+        comps, _, loss, metrics = step(comps, opt.init(comps), obs, KEY)
+        assert set(metrics) == {"elbo", "ess", "grad_norm"}
+        assert np.isfinite(float(metrics["ess"]))
+        assert 1.0 <= float(metrics["ess"]) <= 16.0
+        assert float(metrics["grad_norm"]) > 0
+        np.testing.assert_allclose(float(loss), -float(metrics["elbo"]),
+                                   rtol=1e-6)
+
+
+class TestTrainCheckpointing:
+    def test_checkpoint_and_resume(self, tmp_path):
+        from aesmc_tpu.models import lgssm as _lgssm
+        initial = _lgssm.Initial(0.0, 1.0)
+        dl = train.get_synthetic_dataloader(
+            initial, _lgssm.Transition.create(0.9, 1.0),
+            _lgssm.Emission.create(1.0, 0.2), 5, 4, KEY)
+        ckpt_dir = tmp_path / "run1"
+        comps = train.train(
+            dl, 8, "aesmc", initial, _lgssm.Transition.create(0.0, 1.0),
+            _lgssm.Emission.create(0.5, 0.2),
+            _lgssm.Proposal.create(1.0, 1.0, KEY),
+            num_epochs=1, num_iterations_per_epoch=5, key=KEY,
+            checkpoint_dir=ckpt_dir)
+        assert ckpt_dir.exists()
+        # Resume: parameters continue from the saved state.
+        comps2 = train.train(
+            dl, 8, "aesmc", initial, _lgssm.Transition.create(0.0, 1.0),
+            _lgssm.Emission.create(0.5, 0.2),
+            _lgssm.Proposal.create(1.0, 1.0, KEY),
+            num_epochs=1, num_iterations_per_epoch=0, key=KEY,
+            checkpoint_dir=ckpt_dir, resume=True)
+        np.testing.assert_allclose(float(comps2[1].mult),
+                                   float(comps[1].mult), rtol=1e-6)
