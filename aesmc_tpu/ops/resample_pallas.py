@@ -55,7 +55,11 @@ def _padded_k(k: int) -> int:
     return _round_up(k, MERGE_ROWS * LANE)
 
 
-MERGE_ROWS = 8  # merge-tile height: 8 x 128 = 1024 particles per trip
+import os as _os
+
+# Merge-tile height (particles per trip = MERGE_ROWS * 128). Overridable
+# for benchmarking sweeps; 8 balances trip count vs per-trip compute.
+MERGE_ROWS = int(_os.environ.get("AESMC_MERGE_ROWS", "8"))
 
 
 def _lane_prefix(x):
