@@ -168,6 +168,7 @@ def infer(inference_algorithm: str,
           resampling_method: str = "systematic",
           resampling_implementation: str = "auto",
           resampling_criterion="always",
+          soft_resampling_alpha: float = 0.5,
           remat: bool = False,
           mesh=None,
           data_axis: str = "data",
@@ -188,8 +189,12 @@ def infer(inference_algorithm: str,
             docstring). `transition` may be None when T == 1.
         num_particles: number of particles K.
         key: JAX PRNG key (defaults to PRNGKey(0) for convenience).
-        resampling_method: 'systematic' | 'stratified' | 'multinomial'
-            (smc only; the reference is systematic-only).
+        resampling_method: 'systematic' | 'stratified' | 'multinomial' |
+            'soft' (smc only; the reference is systematic-only). 'soft'
+            is differentiable resampling: ancestors from the tempered
+            mixture alpha*w + (1-alpha)/K with importance-corrected
+            next-step weights (see `soft_resampling_alpha`); at alpha=1
+            it coincides exactly with 'multinomial'.
         resampling_implementation: 'auto' | 'xla' | 'pallas', or a callable
             `(log_weight, key) -> indices` (e.g. a shard_map distributed
             resampler from `aesmc_tpu.parallel`).
@@ -236,6 +241,10 @@ def infer(inference_algorithm: str,
         raise ValueError("return_ancestral_indices shouldn't be True for is")
     if key is None:
         key = jax.random.PRNGKey(0)
+    if resampling_method == "soft" and resampling_criterion != "always":
+        raise ValueError(
+            "soft resampling does not combine with ESS-adaptive "
+            "criteria (resample-or-not is already softened)")
 
     stacked_obs = stack_observations(observations)
     obs_seq = ObservationSequence(stacked_obs)
@@ -291,7 +300,23 @@ def infer(inference_algorithm: str,
             obs_t, t, keys_t = inputs
             time = TimeIndex(t)
 
-            if is_smc and not adaptive:
+            if is_smc and resampling_method == "soft":
+                # Differentiable soft resampling (Karkus et al. 2018):
+                # ancestors drawn from the tempered mixture, next-step
+                # weights start from the importance correction
+                # log(w_bar[a]/q[a]) - the estimator stays unbiased and
+                # gradients flow into the pre-resampling weights.
+                ancestral_index, corrected = \
+                    resampling.soft_indices_and_weights(
+                        prev_log_weight, keys_t[0],
+                        alpha=soft_resampling_alpha)
+                previous_latent = resampling.resample_particles(
+                    prev_latent, ancestral_index)
+                contribution = (
+                    jax.nn.logsumexp(prev_log_weight, axis=1) -
+                    log_num_particles)
+                base = corrected
+            elif is_smc and not adaptive:
                 # Fused path: indices + particle gather in one kernel
                 # when the pallas implementation is active.
                 ancestral_index, previous_latent = \

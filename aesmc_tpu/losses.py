@@ -27,6 +27,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
              resampling_method: str = "systematic",
              resampling_implementation="auto",
              resampling_criterion="always",
+             remat: bool = False,
              mesh=None, data_axis: str = "data",
              particle_axis: str = "particle"):
     """Scalar loss -mean(ELBO) for gradient descent.
@@ -67,6 +68,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         resampling_method=resampling_method,
         resampling_implementation=resampling_implementation,
         resampling_criterion=resampling_criterion,
+        remat=remat,
         mesh=mesh, data_axis=data_axis, particle_axis=particle_axis,
         return_log_marginal_likelihood=True,
         return_latents=False,

@@ -313,9 +313,14 @@ def soft_indices_and_weights(log_weight, key, alpha: float = 0.5):
     """
     log_weight = jnp.asarray(log_weight)
     _, num_particles = log_weight.shape
-    w = amath.exponentiate_and_normalize(log_weight, dim=-1)
-    q = alpha * w + (1.0 - alpha) / num_particles
-    idx = multinomial_indices(jax.lax.stop_gradient(jnp.log(q)), key)
-    w_sel = jnp.take_along_axis(w, idx, axis=1)
-    q_sel = jnp.take_along_axis(q, idx, axis=1)
-    return idx, jnp.log(w_sel) - jax.lax.stop_gradient(jnp.log(q_sel))
+    # All in log space: underflowed weights (w == 0 in f32) would make
+    # log(w_sel) = -inf and its gradient NaN.
+    log_w = amath.lognormexp(log_weight, dim=-1)
+    log_q = jnp.logaddexp(
+        jnp.log(alpha) + log_w,
+        jnp.full_like(log_w, jnp.log((1.0 - alpha) / num_particles))
+    ) if alpha < 1.0 else log_w
+    idx = multinomial_indices(jax.lax.stop_gradient(log_q), key)
+    log_w_sel = jnp.take_along_axis(log_w, idx, axis=1)
+    log_q_sel = jnp.take_along_axis(log_q, idx, axis=1)
+    return idx, log_w_sel - jax.lax.stop_gradient(log_q_sel)

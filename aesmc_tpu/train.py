@@ -55,6 +55,8 @@ def make_train_step(num_particles: int, algorithm: str,
                     optimizer: optax.GradientTransformation,
                     resampling_method: str = "systematic",
                     resampling_implementation: str = "auto",
+                    resampling_criterion="always",
+                    remat: bool = False,
                     with_metrics: bool = False,
                     jit: bool = True) -> Callable:
     """Builds `(components, opt_state, observations, key) ->
@@ -75,13 +77,15 @@ def make_train_step(num_particles: int, algorithm: str,
                     observations, num_particles, algorithm, initial,
                     transition, emission, proposal, key=key,
                     resampling_method=resampling_method,
-                    resampling_implementation=resampling_implementation)
+                    resampling_implementation=resampling_implementation,
+                    resampling_criterion=resampling_criterion, remat=remat)
                 return loss, metrics
             loss = losses.get_loss(
                 observations, num_particles, algorithm, initial, transition,
                 emission, proposal, key=key,
                 resampling_method=resampling_method,
-                resampling_implementation=resampling_implementation)
+                resampling_implementation=resampling_implementation,
+                resampling_criterion=resampling_criterion, remat=remat)
             return loss, {}
 
         (loss, metrics), grads = jax.value_and_grad(
@@ -113,6 +117,8 @@ def train(dataloader: Iterable,
           key=None,
           resampling_method: str = "systematic",
           resampling_implementation: str = "auto",
+          resampling_criterion="always",
+          remat: bool = False,
           checkpoint_dir=None,
           checkpoint_interval: Optional[int] = None,
           resume: bool = False) -> Components:
@@ -149,7 +155,8 @@ def train(dataloader: Iterable,
     step = make_train_step(
         num_particles, algorithm, optimizer,
         resampling_method=resampling_method,
-        resampling_implementation=resampling_implementation)
+        resampling_implementation=resampling_implementation,
+        resampling_criterion=resampling_criterion, remat=remat)
 
     def maybe_checkpoint(force=False):
         if checkpoint_dir is None:
