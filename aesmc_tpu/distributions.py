@@ -302,6 +302,136 @@ class Bernoulli(Distribution):
 
 
 @struct.dataclass
+class Laplace(Distribution):
+    """Laplace(loc, scale); reparameterized via inverse-CDF."""
+
+    loc: Any
+    scale: Any
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    has_rsample: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(_shape(self.loc), _shape(self.scale))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        loc = jnp.asarray(self.loc, dtype=jnp.result_type(float))
+        # u ~ Uniform(-1/2, 1/2); x = loc - scale * sign(u) * log1p(-2|u|)
+        u = jax.random.uniform(key, shape, dtype=loc.dtype,
+                               minval=-0.5, maxval=0.5)
+        eps = -jnp.sign(u) * jnp.log1p(-2.0 * jnp.abs(u))
+        return loc + jnp.asarray(self.scale, dtype=loc.dtype) * eps
+
+    def log_prob(self, value):
+        loc = jnp.asarray(self.loc)
+        scale = jnp.asarray(self.scale)
+        return -jnp.abs(jnp.asarray(value) - loc) / scale - \
+            jnp.log(2.0 * scale)
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(jnp.asarray(self.loc), self.batch_shape)
+
+
+@struct.dataclass
+class LogNormal(Distribution):
+    """exp(N(loc, scale^2)); reparameterized."""
+
+    loc: Any
+    scale: Any
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    has_rsample: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(_shape(self.loc), _shape(self.scale))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        loc = jnp.asarray(self.loc, dtype=jnp.result_type(float))
+        eps = jax.random.normal(key, shape, dtype=loc.dtype)
+        return jnp.exp(loc + jnp.asarray(self.scale, dtype=loc.dtype) * eps)
+
+    def log_prob(self, value):
+        loc = jnp.asarray(self.loc)
+        scale = jnp.asarray(self.scale)
+        value = jnp.asarray(value)
+        logv = jnp.log(value)
+        z = (logv - loc) / scale
+        return -0.5 * z * z - jnp.log(scale) - _HALF_LOG_2PI - logv
+
+    @property
+    def mean(self):
+        return jnp.exp(jnp.asarray(self.loc) +
+                       0.5 * jnp.asarray(self.scale) ** 2)
+
+
+@struct.dataclass
+class TransformedDistribution(Distribution):
+    """Pushforward of `base` through an elementwise bijector.
+
+    bijector: one of the registered names ('exp', 'sigmoid', 'tanh',
+    'softplus') - static, so the distribution stays a pytree. Covers the
+    common constrained-latent constructions (positive scales, bounded
+    volatilities) without a dependency on distrax.
+    """
+
+    base: Any
+    bijector: str = struct.field(pytree_node=False)
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    _FORWARD = {
+        "exp": jnp.exp,
+        "sigmoid": jax.nn.sigmoid,
+        "tanh": jnp.tanh,
+        "softplus": jax.nn.softplus,
+    }
+    _INVERSE = {
+        "exp": jnp.log,
+        "sigmoid": lambda y: jnp.log(y) - jnp.log1p(-y),
+        "tanh": jnp.arctanh,
+        "softplus": lambda y: jnp.log(-jnp.expm1(-y)) + y,
+    }
+    # log |d forward(x) / dx| evaluated at x.
+    _FLDJ = {
+        "exp": lambda x: x,
+        "sigmoid": lambda x: -jax.nn.softplus(-x) - jax.nn.softplus(x),
+        "tanh": lambda x: 2.0 * (jnp.log(2.0) - x - jax.nn.softplus(-2.0 * x)),
+        "softplus": lambda x: -jax.nn.softplus(-x),
+    }
+
+    @property
+    def has_rsample(self):
+        return self.base.has_rsample
+
+    @property
+    def batch_shape(self):
+        return self.base.batch_shape
+
+    @property
+    def event_shape(self):
+        return self.base.event_shape
+
+    def sample(self, key, sample_shape=()):
+        return self._FORWARD[self.bijector](
+            self.base.sample(key, sample_shape))
+
+    def rsample(self, key, sample_shape=()):
+        return self._FORWARD[self.bijector](
+            self.base.rsample(key, sample_shape))
+
+    def log_prob(self, value):
+        x = self._INVERSE[self.bijector](jnp.asarray(value))
+        return self.base.log_prob(x) - self._FLDJ[self.bijector](x)
+
+
+@struct.dataclass
 class Uniform(Distribution):
     """Uniform on [low, high); reparameterized."""
 

@@ -35,7 +35,7 @@ except ImportError:  # pragma: no cover
     AVAILABLE = False
 
 LANE = 128
-MERGE_ROWS = 8
+MERGE_ROWS = 4
 MAX_KERNEL_PARTICLES = 512 * 1024
 
 

@@ -59,7 +59,7 @@ import os as _os
 
 # Merge-tile height (particles per trip = MERGE_ROWS * 128). Overridable
 # for benchmarking sweeps; 8 balances trip count vs per-trip compute.
-MERGE_ROWS = int(_os.environ.get("AESMC_MERGE_ROWS", "8"))
+MERGE_ROWS = int(_os.environ.get("AESMC_MERGE_ROWS", "4"))
 
 
 def _lane_prefix(x):

@@ -4,6 +4,7 @@ gradients, pytree behavior."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.stats
 
 from aesmc_tpu import distributions as dists
@@ -153,3 +154,64 @@ class TestPytree:
                          batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
         d2 = jax.tree_util.tree_map(lambda x: x, d)
         assert d2.batch_shape_mode == BatchShapeMode.FULLY_EXPANDED
+
+
+class TestLaplace:
+    def test_log_prob_and_stats(self):
+        d = dists.Laplace(1.0, 2.0)
+        np.testing.assert_allclose(
+            float(d.log_prob(jnp.asarray(1.5))),
+            scipy.stats.laplace.logpdf(1.5, 1.0, 2.0), atol=1e-4)
+        x = np.asarray(d.sample(KEY, (100000,)))
+        np.testing.assert_allclose(x.mean(), 1.0, atol=0.05)
+        np.testing.assert_allclose(x.var(), 2 * 2.0 ** 2, rtol=0.05)
+
+    def test_rsample_gradient(self):
+        g = jax.grad(lambda loc: jnp.mean(
+            dists.Laplace(loc, 1.0).rsample(KEY, (256,))))(jnp.asarray(0.0))
+        np.testing.assert_allclose(float(g), 1.0, atol=1e-5)
+
+
+class TestLogNormal:
+    def test_log_prob_and_mean(self):
+        d = dists.LogNormal(0.3, 0.5)
+        np.testing.assert_allclose(
+            float(d.log_prob(jnp.asarray(2.0))),
+            scipy.stats.lognorm.logpdf(2.0, 0.5, scale=np.exp(0.3)),
+            atol=1e-4)
+        x = np.asarray(d.sample(KEY, (200000,)))
+        np.testing.assert_allclose(x.mean(), float(d.mean), rtol=0.02)
+
+
+class TestTransformedDistribution:
+    @pytest.mark.parametrize("bijector,ref", [
+        ("exp", lambda base_lp, x: None),
+    ])
+    def test_exp_matches_lognormal(self, bijector, ref):
+        base = dists.Normal(0.3, 0.5)
+        d = dists.TransformedDistribution(base, "exp")
+        ln = dists.LogNormal(0.3, 0.5)
+        xs = jnp.asarray([0.5, 1.0, 2.0, 5.0])
+        np.testing.assert_allclose(np.asarray(d.log_prob(xs)),
+                                   np.asarray(ln.log_prob(xs)), atol=1e-4)
+
+    @pytest.mark.parametrize("bijector", ["exp", "sigmoid", "tanh",
+                                          "softplus"])
+    def test_density_integrates(self, bijector):
+        # Check log|dF/dx| via change of variables: samples' empirical
+        # mean of any test function matches direct integration.
+        base = dists.Normal(0.0, 0.7)
+        d = dists.TransformedDistribution(base, bijector)
+        x = d.sample(KEY, (200000,))
+        # E[f(y)] by sampling vs by importance-free quadrature over y.
+        emp = float(jnp.mean(x))
+        ys = np.linspace(float(jnp.min(x)) + 1e-4,
+                         float(jnp.max(x)) - 1e-4, 20001)
+        pdf = np.exp(np.asarray(d.log_prob(jnp.asarray(ys))))
+        quad = np.trapezoid(ys * pdf, ys)
+        np.testing.assert_allclose(emp, quad, atol=2e-2)
+
+    def test_rsample_flag_propagates(self):
+        d = dists.TransformedDistribution(
+            dists.Categorical.from_probs(jnp.asarray([0.5, 0.5])), "exp")
+        assert not d.has_rsample

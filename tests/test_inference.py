@@ -479,3 +479,28 @@ class TestSoftResampling:
             inference.infer("smc", obs, num_particles=8, key=KEY,
                             resampling_method="soft",
                             resampling_criterion=0.5, **comps)
+
+
+class TestLongSequence:
+    def test_t2000_scales_linearly(self):
+        # The reference's history resampling is O(T^2) (inference.py:
+        # 102-104); this engine must handle T=2000 quickly and under
+        # remat, gradients included.
+        import time
+        from aesmc_tpu import losses
+        from aesmc_tpu.models import lgssm
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.3)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = statistics.sample_from_prior(initial, transition, emission,
+                                              2000, 2, KEY)
+
+        grad_fn = jax.jit(jax.grad(lambda tr: losses.get_loss(
+            obs, 8, "aesmc", initial, tr, emission, proposal, key=KEY,
+            remat=True)))
+        g = grad_fn(transition)
+        assert np.isfinite(float(g.mult))
+        t0 = time.perf_counter()
+        float(grad_fn(transition).mult)
+        assert time.perf_counter() - t0 < 10.0
