@@ -504,3 +504,53 @@ class TestLongSequence:
         t0 = time.perf_counter()
         float(grad_fn(transition).mult)
         assert time.perf_counter() - t0 < 10.0
+
+
+class TestAutoregressiveObservations:
+    """Models whose dynamics consume previous observations - the engine
+    passes the full ObservationSequence (indexable at `time - 1` via
+    TimeIndex arithmetic) where the reference passed a sliced list."""
+
+    class ArEmission:
+        def __call__(self, latents=None, time=None,
+                     previous_observations=None):
+            from aesmc_tpu.state import BatchShapeMode
+            loc = latents[-1]
+            if isinstance(previous_observations, list):
+                # generative rollout: [previous observation]
+                prev_obs = previous_observations[-1]
+                loc = loc + 0.5 * prev_obs
+            elif time != 0 and previous_observations is not None:
+                # inside the inference scan: index the full sequence
+                prev_obs = previous_observations[time - 1]   # [B]
+                loc = loc + 0.5 * prev_obs[:, None]
+            return dists.Normal(
+                loc, 0.3, batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
+
+    def test_rollout_and_inference(self):
+        from aesmc_tpu.models import lgssm
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = self.ArEmission()
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        latents, obs = statistics.sample_from_prior(
+            initial, transition, emission, 10, 3, KEY)
+        assert obs.shape == (10, 3)
+        result = inference.infer(
+            "smc", obs, initial, transition, emission, proposal, 16,
+            key=KEY, return_log_marginal_likelihood=True)
+        assert np.isfinite(np.asarray(
+            result["log_marginal_likelihood"])).all()
+
+
+class TestShapeErrors:
+    def test_incompatible_log_prob_shapes_raise(self):
+        from aesmc_tpu import state as astate
+        d = dists.Normal(jnp.zeros((2, 3, 4, 5)), 1.0)
+        with pytest.raises(RuntimeError, match="Incompatible"):
+            astate.log_prob(d, jnp.zeros((2, 3)))
+
+    def test_resample_shape_mismatch_asserts(self):
+        from aesmc_tpu import state as astate
+        with pytest.raises(AssertionError):
+            astate.resample(jnp.zeros((2, 5)), jnp.zeros((2, 4), jnp.int32))
