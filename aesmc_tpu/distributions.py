@@ -302,6 +302,47 @@ class Bernoulli(Distribution):
 
 
 @struct.dataclass
+class Deterministic(Distribution):
+    """A point mass: sample returns `loc`, log_prob is identically 0.
+
+    The standard device for carrying DETERMINISTIC recurrent state (VRNN
+    hidden vectors) through an SMC latent: both transition and proposal
+    emit the same Deterministic component, so it contributes nothing to
+    the importance weights while riding the particle resampling. The
+    zero log-density is an (improper) convention - proposal and model
+    terms cancel exactly. `rsample` is the identity in `loc`, so
+    gradients flow through the deterministic path.
+    """
+
+    loc: Any
+    event_ndims: int = struct.field(pytree_node=False, default=0)
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    has_rsample: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def batch_shape(self):
+        shape = _shape(self.loc)
+        return shape[:len(shape) - self.event_ndims]
+
+    @property
+    def event_shape(self):
+        shape = _shape(self.loc)
+        return shape[len(shape) - self.event_ndims:]
+
+    def sample(self, key, sample_shape=()):
+        loc = jnp.asarray(self.loc, dtype=jnp.result_type(float))
+        return jnp.broadcast_to(loc, tuple(sample_shape) + loc.shape)
+
+    def log_prob(self, value):
+        value = jnp.asarray(value)
+        n = self.event_ndims
+        shape = value.shape[:value.ndim - n] if n else value.shape
+        return jnp.zeros(shape, dtype=jnp.result_type(float))
+
+
+@struct.dataclass
 class Laplace(Distribution):
     """Laplace(loc, scale); reparameterized via inverse-CDF."""
 

@@ -11,6 +11,7 @@ from . import kalman
 from . import lgssm
 from . import lgssm_nd
 from . import stochastic_volatility
+from . import vrnn
 
 __all__ = ["bouncing_ball", "gaussian", "kalman", "lgssm", "lgssm_nd",
-           "stochastic_volatility"]
+           "stochastic_volatility", "vrnn"]

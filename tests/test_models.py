@@ -152,3 +152,103 @@ class TestCheckpoint:
         back = jax.tree_util.tree_leaves(restored.components)
         for a, b in zip(orig, back):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestVrnn:
+    """FIVO-style VRNN: shared causal GRU bound per batch."""
+
+    def _model(self):
+        from aesmc_tpu.models import vrnn
+        return vrnn, vrnn.make_model(latent_dim=3, hidden_dim=8,
+                                     obs_dim=4, key=KEY)
+
+    def test_generate_shapes_and_causality(self):
+        vrnn, (initial, encoder, transition, emission, proposal) = \
+            self._model()
+        latents, obs = vrnn.generate(encoder, initial, transition,
+                                     emission, 10, 5, KEY)
+        assert latents.shape == (10, 5, 3)
+        assert obs.shape == (10, 5, 4)
+        # causality: h_t must not depend on y_{>=t}
+        h = encoder.encode(obs)
+        obs2 = obs.at[5:].set(0.0)
+        h2 = encoder.encode(obs2)
+        np.testing.assert_allclose(np.asarray(h[:6]), np.asarray(h2[:6]),
+                                   atol=1e-6)
+        assert not np.allclose(np.asarray(h[7:]), np.asarray(h2[7:]))
+
+    def test_loss_and_shared_gradients(self):
+        vrnn, (initial, encoder, transition, emission, proposal) = \
+            self._model()
+        _, obs = vrnn.generate(encoder, initial, transition, emission,
+                               8, 4, KEY)
+        params = (encoder, transition, emission, proposal)
+
+        def loss_fn(p):
+            enc, tr, em, pr = p
+            return vrnn.vrnn_loss(obs, 16, "aesmc", initial, enc, tr, em,
+                                  pr, key=KEY)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        # The GRU (grads[0]) receives gradient through all its consumers.
+        assert float(optax.global_norm(grads[0])) > 0
+
+    def test_training_improves(self):
+        vrnn, (initial, encoder, transition, emission, proposal) = \
+            self._model()
+        params = (encoder, transition, emission, proposal)
+        opt = optax.adam(3e-3)
+        opt_state = opt.init(params)
+
+        def loss_fn(p, obs, key):
+            enc, tr, em, pr = p
+            return vrnn.vrnn_loss(obs, 8, "aesmc", initial, enc, tr, em,
+                                  pr, key=key)
+
+        @jax.jit
+        def step(params, opt_state, obs, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, obs, key)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = KEY
+        hist = []
+        for _ in range(30):
+            key, k1, k2 = jax.random.split(key, 3)
+            _, obs = vrnn.generate(encoder, initial, transition, emission,
+                                   10, 8, k1)
+            params, opt_state, loss = step(params, opt_state, obs, k2)
+            hist.append(float(loss))
+        assert np.mean(hist[-5:]) < np.mean(hist[:5])
+
+    def test_iwae_variant(self):
+        vrnn, (initial, encoder, transition, emission, proposal) = \
+            self._model()
+        _, obs = vrnn.generate(encoder, initial, transition, emission,
+                               8, 4, KEY)
+        loss = vrnn.vrnn_loss(obs, 16, "iwae", initial, encoder, transition,
+                              emission, proposal, key=KEY)
+        assert np.isfinite(float(loss))
+
+
+class TestDeterministicDistribution:
+    def test_point_mass(self):
+        from aesmc_tpu import distributions as dists
+        d = dists.Deterministic(jnp.asarray([[1.0, 2.0]]), event_ndims=1)
+        assert d.batch_shape == (1,)
+        assert d.event_shape == (2,)
+        s = d.sample(KEY, (3,))
+        assert s.shape == (3, 1, 2)
+        np.testing.assert_array_equal(np.asarray(s[0]),
+                                      np.array([[1.0, 2.0]]))
+        lp = d.log_prob(jnp.zeros((4, 1, 2)))
+        np.testing.assert_array_equal(np.asarray(lp), np.zeros((4, 1)))
+
+    def test_rsample_gradient_identity(self):
+        from aesmc_tpu import distributions as dists
+        g = jax.grad(lambda x: jnp.sum(
+            dists.Deterministic(x).rsample(KEY)))(jnp.ones((3,)))
+        np.testing.assert_array_equal(np.asarray(g), np.ones(3))
