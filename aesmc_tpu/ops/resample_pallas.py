@@ -88,12 +88,15 @@ def _row_prefix(x):
     return x
 
 
-def _make_resample_kernel(num_values: int):
+def _make_resample_kernel(num_values: int, cdf_input: bool = False):
     """Builds the fused kernel for `num_values` gathered value arrays.
 
-    Refs: logw [R,128], pos [R,128], num_values x values [R,128], then
-    outputs idx [R,128] i32 + num_values x resampled values [R,128], then
-    scratch cum [R,128].
+    Refs: logw [Rc,128] (or, with cdf_input=True, an already-normalized
+    sorted CDF), pos [Rp,128], num_values x values [Rc,128], then outputs
+    idx [Rp,128] i32 + num_values x resampled values [Rp,128], then
+    scratch cum [Rc,128]. Position and CDF lengths may differ (the merge
+    cursors are independent) - the distributed resampler searches a
+    GLOBAL gathered CDF with only this shard's position grid.
 
     The gather rides the SAME merge as the index computation: the
     one-hot ancestor selector is sel[i, j] = (cum_{i-1} <= pos_j) AND
@@ -112,25 +115,29 @@ def _make_resample_kernel(num_values: int):
 
         r = logw_ref.shape[0]
         w_tile = MERGE_ROWS
-        n_tiles = r // w_tile
+        n_tiles = r // w_tile                     # CDF tiles
+        n_tiles_p = pos_ref.shape[0] // w_tile    # position tiles
         tile_k = w_tile * LANE
 
-        # ---- 1. Stable weights.
-        w = jnp.exp(logw_ref[:, :] - jnp.max(logw_ref[:, :]))
+        if cdf_input:
+            cum_ref[:, :] = logw_ref[:, :]
+        else:
+            # ---- 1. Stable weights.
+            w = jnp.exp(logw_ref[:, :] - jnp.max(logw_ref[:, :]))
 
-        # ---- 2. Exact blocked cumulative sum (VPU).
-        within = _lane_prefix(w)                              # [R, 128]
-        totals = within[:, LANE - 1:LANE]                     # [R, 1]
-        row_prefix = _row_prefix(totals)                      # [R, 1]
-        total = row_prefix[r - 1, 0]
-        cum_ref[:, :] = (within + row_prefix - totals) / total
+            # ---- 2. Exact blocked cumulative sum (VPU).
+            within = _lane_prefix(w)                          # [R, 128]
+            totals = within[:, LANE - 1:LANE]                 # [R, 1]
+            row_prefix = _row_prefix(totals)                  # [R, 1]
+            total = row_prefix[r - 1, 0]
+            cum_ref[:, :] = (within + row_prefix - totals) / total
 
         # ---- 3-4. Two-cursor merge over [w_tile, 128] tiles.
         def trip(_, carry):
             p, rr, acc, vaccs = carry
-            active = p < n_tiles
+            active = p < n_tiles_p
 
-            p_safe = jnp.minimum(p, n_tiles - 1)
+            p_safe = jnp.minimum(p, n_tiles_p - 1)
             pos_tile = pos_ref[pl.ds(p_safe * w_tile, w_tile), :]
             cum_tile = cum_ref[pl.ds(rr * w_tile, w_tile), :]
             v_tiles = [vr[pl.ds(rr * w_tile, w_tile), :] for vr in v_refs]
@@ -211,7 +218,7 @@ def _make_resample_kernel(num_values: int):
         acc0 = jnp.zeros((w_tile, LANE), jnp.int32)
         vacc0 = tuple(jnp.zeros((w_tile, LANE), jnp.float32)
                       for _ in range(num_values))
-        jax.lax.fori_loop(0, 2 * n_tiles, trip,
+        jax.lax.fori_loop(0, n_tiles + n_tiles_p, trip,
                           (jnp.int32(0), jnp.int32(0), acc0, vacc0))
 
     return kernel
@@ -265,6 +272,59 @@ def searchsorted_cdf_pallas(log_weight, pos, values=(), *,
     if not num_values:
         return idx
     gathered = [o.reshape(batch_size, k_pad)[:, :k] for o in outputs[1:]]
+    return idx, gathered
+
+
+def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
+                                   interpret: bool = False):
+    """idx[b, j] = #{i: cdf[b, i] <= pos[b, j]} for an ALREADY-normalized
+    sorted CDF, optionally gathering `values` columns at those indices.
+
+    CDF and position lengths may differ: the distributed resampler
+    searches the all-gathered GLOBAL CDF `[B, K]` with only this shard's
+    `[B, K_local]` position grid.
+    """
+    interpret = interpret or FORCE_INTERPRET
+    batch_size, kc = cdf.shape
+    _, kp = pos.shape
+    values = list(values)
+    num_values = len(values)
+    kc_pad = _padded_k(kc)
+    kp_pad = _padded_k(kp)
+    if kc_pad != kc:
+        # Padding above every position (pos < 1): never counted.
+        cdf = jnp.pad(cdf, ((0, 0), (0, kc_pad - kc)), constant_values=2.0)
+        values = [jnp.pad(v, ((0, 0), (0, kc_pad - kc))) for v in values]
+    if kp_pad != kp:
+        pos = jnp.pad(pos, ((0, 0), (0, kp_pad - kp)), constant_values=2.0)
+    rc = kc_pad // LANE
+    rp = kp_pad // LANE
+
+    c_spec = pl.BlockSpec((rc, LANE), lambda b: (b, 0),
+                          memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((rp, LANE), lambda b: (b, 0),
+                          memory_space=pltpu.VMEM)
+    outputs = pl.pallas_call(
+        _make_resample_kernel(num_values, cdf_input=True),
+        grid=(batch_size,),
+        in_specs=[c_spec, p_spec] + [c_spec] * num_values,
+        out_specs=[p_spec] * (1 + num_values),
+        out_shape=(
+            [jax.ShapeDtypeStruct((batch_size * rp, LANE), jnp.int32)] +
+            [jax.ShapeDtypeStruct((batch_size * rp, LANE), jnp.float32)
+             for _ in range(num_values)]),
+        scratch_shapes=[pltpu.VMEM((rc, LANE), jnp.float32)],
+        interpret=interpret,
+    )(cdf.astype(jnp.float32).reshape(batch_size * rc, LANE),
+      pos.astype(jnp.float32).reshape(batch_size * rp, LANE),
+      *[jnp.asarray(v).astype(jnp.float32).reshape(batch_size * rc, LANE)
+        for v in values])
+    idx = jnp.clip(outputs[0].reshape(batch_size, kp_pad)[:, :kp],
+                   0, kc - 1)
+    if not num_values:
+        return idx
+    gathered = [o.reshape(batch_size, kp_pad)[:, :kp]
+                for o in outputs[1:]]
     return idx, gathered
 
 
@@ -338,3 +398,34 @@ def _rg_bwd(residuals, cotangents):
 
 
 resample_and_gather.defvjp(_rg_fwd, _rg_bwd)
+
+
+@jax.custom_vjp
+def resample_and_gather_cdf(cdf, pos, columns):
+    """Differentiable fused search+gather for an ALREADY-normalized CDF
+    (the distributed resampler's per-shard global-CDF path). Value
+    gradients are segment-summed back to the sources; cdf/pos are
+    detached (reference stop-gradient semantics)."""
+    idx, gathered = searchsorted_sorted_cdf_pallas(cdf, pos, columns)
+    return idx, tuple(gathered)
+
+
+def _rgc_fwd(cdf, pos, columns):
+    idx, gathered = searchsorted_sorted_cdf_pallas(cdf, pos, columns)
+    return (idx, tuple(gathered)), (idx, cdf.shape[1])
+
+
+def _rgc_bwd(residuals, cotangents):
+    idx, k_sources = residuals
+    _, g_gathered = cotangents
+
+    def seg(g):
+        return jax.vmap(
+            lambda gr, ir: jax.ops.segment_sum(
+                gr, ir, num_segments=k_sources)
+        )(jnp.asarray(g), idx)
+
+    return None, None, tuple(seg(g) for g in g_gathered)
+
+
+resample_and_gather_cdf.defvjp(_rgc_fwd, _rgc_bwd)

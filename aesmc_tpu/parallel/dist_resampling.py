@@ -16,9 +16,9 @@ Design (per batch row, K particles over n shards of K_local = K/n):
 4. each shard evaluates the systematic grid positions of the output slots
    it OWNS (a contiguous range - systematic output indices are sorted) and
    searchsorts them into the global CDF -> global ancestor indices;
-5. particle exchange: masked local gather + psum (each slot is owned by
-   exactly one source shard; the others contribute zeros), so peak memory
-   stays at the local shard size.
+5. particle exchange: all_gather of the source particles + local gather
+   of the owned output slots (on TPU, fused with the search in one Pallas
+   merge kernel via `distributed_systematic_resample`).
 
 Gradients: indices are integers (no gradient), and callers stop-gradient
 the weights, matching /root/reference/aesmc/inference.py:254.
@@ -38,32 +38,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import resampling as _resampling
 
 
-def distributed_systematic_indices(log_weight, key, axis_name: str,
-                                   data_axis_name: str | None = None):
-    """Systematic resampling inside `shard_map`; particle axis sharded.
-
-    Args:
-        log_weight: local shard `[B, K_local]` of the global `[B, K]`
-            unnormalized log-weights.
-        key: PRNG key, REPLICATED across the axis (same value everywhere).
-        axis_name: mesh axis name the particle dim is sharded over.
-        data_axis_name: mesh axis name the batch dim is sharded over, or
-            None if the batch is not sharded. Needed so the per-batch-row
-            systematic uniform is drawn from the GLOBAL batch shape
-            (making results bit-identical to the single-device resampler
-            regardless of the data sharding).
-
-    Returns:
-        `[B, K_local]` int32 GLOBAL ancestor indices for the output slots
-        this shard owns (slots `[d*K_local, (d+1)*K_local)`).
-    """
+def _global_cdf_and_positions(log_weight, key, axis_name: str,
+                              data_axis_name: str | None):
+    """Shared first half of distributed systematic resampling: the
+    replicated global CDF `[B, K]` and this shard's sorted position grid
+    `[B, K_local]` (uniforms drawn over the GLOBAL batch so randomness is
+    independent of the mesh layout)."""
     log_weight = jax.lax.stop_gradient(jnp.asarray(log_weight))
     batch_size, k_local = log_weight.shape
     n = jax.lax.axis_size(axis_name)
     d = jax.lax.axis_index(axis_name)
     k_global = k_local * n
 
-    # 1. Distributed normalization.
+    # Distributed normalization.
     local_max = jnp.max(log_weight, axis=1, keepdims=True)
     global_max = jax.lax.pmax(local_max, axis_name)
     w = jnp.exp(log_weight - global_max)                     # [B, K_local]
@@ -73,7 +60,7 @@ def distributed_systematic_indices(log_weight, key, axis_name: str,
     prefix = jnp.cumsum(all_sums, axis=0) - all_sums         # exclusive
     my_prefix = prefix[d]                                    # [B]
 
-    # 2-3. Global CDF: local slice, then replicate.
+    # Global CDF: local slice, then replicate.
     local_cum = (my_prefix[:, None] + jnp.cumsum(w, axis=1)) / total[:, None]
     cum_slices = jax.lax.all_gather(local_cum, axis_name, axis=1)
     global_cum = cum_slices.reshape(batch_size, k_global)
@@ -81,9 +68,6 @@ def distributed_systematic_indices(log_weight, key, axis_name: str,
     # (/root/reference/aesmc/inference.py:259-261).
     global_cum = global_cum / global_cum[:, -1:]
 
-    # 4. Systematic grid for MY output slots. The uniform is drawn over
-    # the GLOBAL batch on every shard (cheap: one scalar per row), then
-    # sliced, so randomness is independent of the mesh layout.
     if data_axis_name is not None:
         n_data = jax.lax.axis_size(data_axis_name)
         d_data = jax.lax.axis_index(data_axis_name)
@@ -95,8 +79,50 @@ def distributed_systematic_indices(log_weight, key, axis_name: str,
         u = jax.random.uniform(key, (batch_size, 1), dtype=global_cum.dtype)
     slots = d * k_local + jnp.arange(k_local, dtype=global_cum.dtype)
     pos = (u + slots) / k_global                             # [B, K_local]
-    find = functools.partial(jnp.searchsorted, side="right")
-    idx = jax.vmap(find)(global_cum, pos)
+    return global_cum, pos, k_global
+
+
+def _use_pallas(k_global: int) -> bool:
+    """Route the per-shard global-CDF search / gather through the fused
+    Pallas kernel on real TPUs (XLA searchsorted costs ~17 ms at K=100k;
+    the merge kernel is O(K) in one VMEM pass)."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    try:
+        from ..ops import resample_pallas
+        return (resample_pallas.AVAILABLE and
+                k_global <= resample_pallas.MAX_KERNEL_PARTICLES)
+    except ImportError:
+        return False
+
+
+def distributed_systematic_indices(log_weight, key, axis_name: str,
+                                   data_axis_name: str | None = None):
+    """Systematic resampling inside `shard_map`; particle axis sharded.
+
+    Args:
+        log_weight: local shard `[B, K_local]` of the global `[B, K]`
+            unnormalized log-weights.
+        key: PRNG key, REPLICATED across the axis (same value everywhere).
+        axis_name: mesh axis name the particle dim is sharded over.
+        data_axis_name: mesh axis name the batch dim is sharded over, or
+            None if the batch is not sharded.
+
+    Returns:
+        `[B, K_local]` int32 GLOBAL ancestor indices for the output slots
+        this shard owns (slots `[d*K_local, (d+1)*K_local)`).
+    """
+    global_cum, pos, k_global = _global_cdf_and_positions(
+        log_weight, key, axis_name, data_axis_name)
+    if _use_pallas(k_global):
+        from ..ops import resample_pallas
+        idx = resample_pallas.searchsorted_sorted_cdf_pallas(global_cum, pos)
+    else:
+        find = functools.partial(jnp.searchsorted, side="right")
+        idx = jax.vmap(find)(global_cum, pos)
     return jnp.clip(idx, 0, k_global - 1).astype(jnp.int32)
 
 
@@ -122,6 +148,86 @@ def distributed_resample_particles(value, global_index, axis_name: str):
     return jax.tree_util.tree_map(gather, value)
 
 
+def distributed_systematic_resample(log_weight, key, value, axis_name: str,
+                                    data_axis_name: str | None = None):
+    """Fused distributed resampling inside `shard_map`: global ancestor
+    indices AND redistributed particles in one pass.
+
+    On TPU the inverse-CDF search of the gathered global CDF and the
+    particle gather run in ONE Pallas merge kernel (CDF length K_global,
+    position length K_local); elsewhere XLA search + gather. Returns
+    (indices `[B, K_local]`, value pytree with `[B, K_local, ...]`
+    leaves).
+    """
+    global_cum, pos, k_global = _global_cdf_and_positions(
+        log_weight, key, axis_name, data_axis_name)
+
+    leaves, treedef = jax.tree_util.tree_flatten(value)
+    gathered_full = [jax.lax.all_gather(jnp.asarray(leaf), axis_name,
+                                        axis=1, tiled=True)
+                     for leaf in leaves]
+    fusable = _use_pallas(k_global) and all(
+        jnp.issubdtype(f.dtype, jnp.floating) for f in gathered_full)
+
+    if fusable:
+        from ..ops import resample_pallas
+        columns = []
+        dims = []
+        for full in gathered_full:
+            b, kg = full.shape[:2]
+            flat = full.reshape(b, kg, -1)
+            dims.append(flat.shape[-1])
+            for dcol in range(flat.shape[-1]):
+                columns.append(flat[:, :, dcol])
+        idx, gathered_cols = resample_pallas.resample_and_gather_cdf(
+            global_cum, pos, tuple(columns))
+        idx = jnp.clip(idx, 0, k_global - 1).astype(jnp.int32)
+        out_leaves = []
+        it = iter(gathered_cols)
+        for full, d, leaf in zip(gathered_full, dims, leaves):
+            cols = [next(it) for _ in range(d)]
+            stacked = jnp.stack(cols, axis=-1)
+            out_leaves.append(stacked.reshape(jnp.asarray(leaf).shape))
+        return idx, jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+    find = functools.partial(jnp.searchsorted, side="right")
+    idx = jnp.clip(jax.vmap(find)(global_cum, pos),
+                   0, k_global - 1).astype(jnp.int32)
+    out_leaves = []
+    for full, leaf in zip(gathered_full, leaves):
+        expanded = idx.reshape(idx.shape + (1,) * (full.ndim - 2))
+        out_leaves.append(jnp.take_along_axis(full, expanded, axis=1))
+    return idx, jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
+def make_distributed_fused_resampler(mesh: Mesh,
+                                     data_axis: str = "data",
+                                     particle_axis: str = "particle"):
+    """A FUSED `(log_weight, key, value) -> (indices, value)` callable for
+    `infer(resampling_implementation=...)`: indices and the particle
+    exchange run in one shard_map (one Pallas merge kernel per shard on
+    TPU). The engine detects the `.fused` attribute and skips its own
+    gather."""
+
+    def resampler(log_weight, key, value):
+        leaves, treedef = jax.tree_util.tree_flatten(value)
+        leaf_specs = [P(data_axis, particle_axis,
+                        *([None] * (jnp.ndim(leaf) - 2)))
+                      for leaf in leaves]
+        value_specs = jax.tree_util.tree_unflatten(treedef, leaf_specs)
+        f = jax.shard_map(
+            lambda lw, v, k: distributed_systematic_resample(
+                lw, k, v, particle_axis, data_axis_name=data_axis),
+            mesh=mesh,
+            in_specs=(P(data_axis, particle_axis), value_specs, P()),
+            out_specs=(P(data_axis, particle_axis), value_specs),
+            check_vma=False)
+        return f(log_weight, value, key)
+
+    resampler.fused = True
+    return resampler
+
+
 def make_distributed_systematic_resampler(mesh: Mesh,
                                           data_axis: str = "data",
                                           particle_axis: str = "particle"):
@@ -140,7 +246,10 @@ def make_distributed_systematic_resampler(mesh: Mesh,
                 lw, k, particle_axis, data_axis_name=data_axis),
             mesh=mesh,
             in_specs=(P(data_axis, particle_axis), P()),
-            out_specs=P(data_axis, particle_axis))
+            out_specs=P(data_axis, particle_axis),
+            # pallas_call outputs carry no vma metadata; required for the
+            # fused-kernel path inside shard_map.
+            check_vma=False)
         return f(log_weight, key)
 
     return resampler

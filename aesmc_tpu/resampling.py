@@ -254,6 +254,11 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
     if implementation == "auto":
         implementation = _auto_implementation(log_weight, method)
 
+    if callable(implementation) and getattr(implementation, "fused", False):
+        # e.g. parallel.make_distributed_fused_resampler: indices and the
+        # cross-shard particle exchange in one shard_map.
+        return implementation(log_weight, key, value)
+
     if implementation == "pallas":
         columns, rebuild = _split_columns(value)
         if columns is not None and len(columns) <= MAX_FUSED_COLUMNS:

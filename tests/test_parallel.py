@@ -130,3 +130,97 @@ class TestGraftEntry:
         sys.path.insert(0, "/root/repo")
         import __graft_entry__
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestDistributedFusedResample:
+    def test_matches_single_device(self):
+        mesh = parallel.make_mesh(data=2, particle=4)
+        lw = jnp.asarray(
+            np.random.RandomState(0).randn(4, 32).astype(np.float32))
+        value = {
+            "x": jnp.asarray(
+                np.random.RandomState(1).randn(4, 32).astype(np.float32)),
+            "y": jnp.asarray(
+                np.random.RandomState(2).randn(4, 32, 3).astype(np.float32)),
+        }
+        want_idx = np.asarray(resampling.systematic_indices(lw, KEY))
+        want_val = state.resample(value, jnp.asarray(want_idx))
+
+        def f(lw_, v_, k):
+            return dist_resampling.distributed_systematic_resample(
+                lw_, k, v_, "particle", "data")
+
+        idx, out = jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P("data", "particle"),
+                      {"x": P("data", "particle"),
+                       "y": P("data", "particle", None)}, P()),
+            out_specs=(P("data", "particle"),
+                       {"x": P("data", "particle"),
+                        "y": P("data", "particle", None)}),
+            check_vma=False)(lw, value, KEY)
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        np.testing.assert_array_equal(np.asarray(out["x"]),
+                                      np.asarray(want_val["x"]))
+        np.testing.assert_array_equal(np.asarray(out["y"]),
+                                      np.asarray(want_val["y"]))
+
+    def test_fused_kernel_path_interpret(self):
+        """Force the pallas route (interpreted) inside shard_map and check
+        it matches the XLA route."""
+        from aesmc_tpu.ops import resample_pallas
+        mesh = parallel.make_mesh(data=1, particle=4)
+        lw = jnp.asarray(
+            np.random.RandomState(0).randn(2, 64).astype(np.float32))
+        value = jnp.asarray(
+            np.random.RandomState(1).randn(2, 64).astype(np.float32))
+
+        def f(lw_, v_, k):
+            return dist_resampling.distributed_systematic_resample(
+                lw_, k, v_, "particle", None)
+
+        specs = dict(in_specs=(P(None, "particle"), P(None, "particle"),
+                               P()),
+                     out_specs=(P(None, "particle"), P(None, "particle")),
+                     check_vma=False)
+        idx_xla, val_xla = jax.shard_map(f, mesh=mesh, **specs)(
+            lw, value, KEY)
+
+        resample_pallas.FORCE_INTERPRET = True
+        orig = dist_resampling._use_pallas
+        dist_resampling._use_pallas = lambda k: True
+        try:
+            idx_p, val_p = jax.shard_map(f, mesh=mesh, **specs)(
+                lw, value, KEY)
+        finally:
+            resample_pallas.FORCE_INTERPRET = False
+            dist_resampling._use_pallas = orig
+        np.testing.assert_array_equal(np.asarray(idx_xla),
+                                      np.asarray(idx_p))
+        np.testing.assert_allclose(np.asarray(val_xla), np.asarray(val_p),
+                                   atol=1e-6)
+
+
+class TestFusedResamplerInEngine:
+    def test_sharded_train_step_with_fused_resampler(self):
+        from aesmc_tpu import statistics as astats
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.2)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = astats.sample_from_prior(initial, transition, emission,
+                                          6, 4, KEY)
+        mesh = parallel.make_mesh(data=2, particle=4)
+        obs = parallel.shard_batch(obs, mesh)
+        opt = optax.adam(5e-2)
+        comps = (initial, lgssm.Transition.create(0.0, 1.0), emission,
+                 proposal)
+        fused = parallel.make_distributed_fused_resampler(mesh)
+        plain = parallel.make_distributed_systematic_resampler(mesh)
+        step_f = parallel.make_sharded_train_step(
+            16, "aesmc", opt, mesh, resampling_implementation=fused)
+        step_p = parallel.make_sharded_train_step(
+            16, "aesmc", opt, mesh, resampling_implementation=plain)
+        _, _, loss_f = step_f(comps, opt.init(comps), obs, KEY)
+        _, _, loss_p = step_p(comps, opt.init(comps), obs, KEY)
+        np.testing.assert_allclose(float(loss_f), float(loss_p), rtol=1e-5)
