@@ -8,10 +8,11 @@ the exact Kalman oracle.
 from . import bouncing_ball
 from . import gaussian
 from . import kalman
+from . import kalman_nd
 from . import lgssm
 from . import lgssm_nd
 from . import stochastic_volatility
 from . import vrnn
 
-__all__ = ["bouncing_ball", "gaussian", "kalman", "lgssm", "lgssm_nd",
+__all__ = ["bouncing_ball", "gaussian", "kalman", "kalman_nd", "lgssm", "lgssm_nd",
            "stochastic_volatility", "vrnn"]

@@ -252,3 +252,73 @@ class TestDeterministicDistribution:
         g = jax.grad(lambda x: jnp.sum(
             dists.Deterministic(x).rsample(KEY)))(jnp.ones((3,)))
         np.testing.assert_array_equal(np.asarray(g), np.ones(3))
+
+
+class TestKalmanNdOracle:
+    """BASELINE config 2 quality gate: the N-dim LGSSM's SMC posteriors
+    must match the exact matrix Kalman filter/smoother."""
+
+    def test_nd_reduces_to_scalar(self):
+        from aesmc_tpu.models import kalman, kalman_nd
+        rng = np.random.RandomState(0)
+        y = rng.randn(30)
+        p1 = kalman.KalmanParams(0.3, 1.2, 0.9, 0.0, 0.5, 1.1, 0.0, 0.4)
+        pn = kalman_nd.KalmanNdParams(
+            initial_mean=np.array([0.3]), initial_cov=np.array([[1.2]]),
+            transition_matrix=np.array([[0.9]]),
+            transition_cov=np.array([[0.5]]),
+            emission_matrix=np.array([[1.1]]),
+            emission_cov=np.array([[0.4]]))
+        m1, v1 = kalman.kalman_smoother(y, p1)
+        mn, vn = kalman_nd.kalman_smoother_nd(y[:, None], pn)
+        np.testing.assert_allclose(mn[:, 0], m1, rtol=1e-10)
+        np.testing.assert_allclose(vn[:, 0, 0], v1, rtol=1e-10)
+        lml1 = kalman.kalman_filter(y, p1)[4]
+        lmln = kalman_nd.kalman_filter_nd(y[:, None], pn)[4]
+        np.testing.assert_allclose(lmln, lml1, rtol=1e-10)
+
+    def test_smc_filtering_matches_kalman_nd(self):
+        from aesmc_tpu.models import kalman_nd, lgssm_nd
+        dim, T, K = 4, 30, 2000
+        initial, transition, emission, _ = lgssm_nd.make_model(
+            dim=dim, key=KEY, transition_scale=0.7, emission_scale=0.3)
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, T, 1, KEY)
+
+        class Bootstrap:
+            """Proposal = model dynamics (an untrained amortized proposal
+            in 4-D degenerates the weights; bootstrap is the canonical
+            consistent baseline)."""
+
+            def __call__(self, previous_latents=None, time=None,
+                         observations=None):
+                if time == 0:
+                    return initial()
+                return transition(previous_latents=previous_latents,
+                                  time=time)
+
+        proposal = Bootstrap()
+        params = kalman_nd.KalmanNdParams(
+            initial_mean=np.zeros(dim), initial_cov=np.eye(dim),
+            transition_matrix=np.asarray(transition.matrix),
+            transition_cov=np.diag(np.asarray(transition.scale) ** 2),
+            emission_matrix=np.asarray(emission.matrix),
+            emission_cov=np.diag(np.asarray(emission.scale) ** 2))
+        km, kv, _, _, exact_lml = kalman_nd.kalman_filter_nd(
+            np.asarray(obs[:, 0]), params)
+
+        result = inference.infer(
+            "smc", obs, initial, transition, emission, proposal, K,
+            key=jax.random.PRNGKey(5), return_log_weights=True,
+            return_original_latents=True,
+            return_log_marginal_likelihood=True)
+        # FILTERING means: per-step weights on pre-lineage latents.
+        means = np.stack([
+            np.asarray(statistics.empirical_mean(
+                result["original_latents"][t], result["log_weights"][t]))[0]
+            for t in range(T)])
+        rmse = np.sqrt(np.mean((means - km) ** 2))
+        scale = np.sqrt(np.mean(km ** 2)) + 1e-9
+        assert rmse / scale < 0.15, (rmse, scale)
+        est_lml = float(result["log_marginal_likelihood"][0])
+        np.testing.assert_allclose(est_lml, exact_lml, rtol=0.05)
