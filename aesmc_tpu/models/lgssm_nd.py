@@ -147,7 +147,8 @@ def make_model(dim: int = 10, obs_dim: int = None, key=None,
         key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     a = jax.random.normal(k1, (dim, dim)) / np.sqrt(dim)
-    eigmax = jnp.max(jnp.abs(jnp.linalg.eigvals(a)))
+    # Spectral radius on host (eig has no TPU lowering; setup-time only).
+    eigmax = float(np.max(np.abs(np.linalg.eigvals(np.asarray(a)))))
     a = a * (spectral_radius / eigmax)
     c = jax.random.normal(k2, (obs_dim, dim)) / np.sqrt(dim)
     return (Initial.create(dim),
