@@ -29,6 +29,8 @@ np.digitize), matching /root/reference/aesmc/inference.py:263-264.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -42,8 +44,17 @@ except ImportError:  # pragma: no cover
     AVAILABLE = False
 
 LANE = 128
-# VMEM budget: logw + pos + cum + out tiles ~= 16 bytes/particle.
-MAX_KERNEL_PARTICLES = 512 * 1024
+# VMEM budget of the fully-fused path: ~6 row-blocks (logw, pos, values,
+# cum scratch, idx out, value out), each double-buffered by the Pallas
+# pipeline: ~48 bytes/particle -> keep under ~10 MB.
+MAX_KERNEL_PARTICLES = 128 * 1024
+# Above that, the large-K path computes the CDF in XLA and runs the
+# chunked-position kernel: CDF + one value column stay VMEM-resident
+# (2 x (4+4) bytes/particle double-buffered) -> caps near 512k. Beyond
+# that, K must be sharded (aesmc_tpu.parallel) or fall back to XLA;
+# a manually-DMA'd HBM-streaming kernel is the planned lift.
+LARGE_KERNEL_PARTICLES = 512 * 1024
+LARGE_K_CHUNK = 128 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -88,7 +99,8 @@ def _row_prefix(x):
     return x
 
 
-def _make_resample_kernel(num_values: int, cdf_input: bool = False):
+def _make_resample_kernel(num_values: int, cdf_input: bool = False,
+                          with_start: bool = False):
     """Builds the fused kernel for `num_values` gathered value arrays.
 
     Refs: logw [Rc,128] (or, with cdf_input=True, an already-normalized
@@ -107,6 +119,13 @@ def _make_resample_kernel(num_values: int, cdf_input: bool = False):
     """
 
     def kernel(*refs):
+        if with_start:
+            # SMEM [B, C] of first-CDF-tile hints; this program's entry
+            # is indexed by its (batch, chunk) grid position.
+            start_ref, refs = refs[0], refs[1:]
+            start = start_ref[pl.program_id(0), pl.program_id(1)]
+        else:
+            start = 0
         logw_ref, pos_ref = refs[0], refs[1]
         v_refs = refs[2:2 + num_values]
         out_ref = refs[2 + num_values]
@@ -120,8 +139,9 @@ def _make_resample_kernel(num_values: int, cdf_input: bool = False):
         tile_k = w_tile * LANE
 
         if cdf_input:
-            cum_ref[:, :] = logw_ref[:, :]
+            cum_src = logw_ref
         else:
+            cum_src = cum_ref
             # ---- 1. Stable weights.
             w = jnp.exp(logw_ref[:, :] - jnp.max(logw_ref[:, :]))
 
@@ -139,13 +159,13 @@ def _make_resample_kernel(num_values: int, cdf_input: bool = False):
 
             p_safe = jnp.minimum(p, n_tiles_p - 1)
             pos_tile = pos_ref[pl.ds(p_safe * w_tile, w_tile), :]
-            cum_tile = cum_ref[pl.ds(rr * w_tile, w_tile), :]
+            cum_tile = cum_src[pl.ds(rr * w_tile, w_tile), :]
             v_tiles = [vr[pl.ds(rr * w_tile, w_tile), :] for vr in v_refs]
 
             # CDF value just before this tile (0 for the first tile).
             rr_prev = jnp.maximum(rr * w_tile - 1, 0)
             boundary = jnp.where(
-                rr > 0, cum_ref[pl.ds(rr_prev, 1), :][0, LANE - 1], 0.0)
+                rr > 0, cum_src[pl.ds(rr_prev, 1), :][0, LANE - 1], 0.0)
 
             row0 = jax.lax.broadcasted_iota(
                 jnp.int32, (LANE, 1), 0) == 0
@@ -215,11 +235,14 @@ def _make_resample_kernel(num_values: int, cdf_input: bool = False):
                               for nv, v in zip(new_vaccs, vaccs))
             return new_p, new_r, new_acc, new_vaccs
 
-        acc0 = jnp.zeros((w_tile, LANE), jnp.int32)
+        start = jnp.asarray(start, jnp.int32)
+        acc0 = (tile_k * start) * jnp.ones((w_tile, LANE), jnp.int32)
         vacc0 = tuple(jnp.zeros((w_tile, LANE), jnp.float32)
                       for _ in range(num_values))
-        jax.lax.fori_loop(0, n_tiles + n_tiles_p, trip,
-                          (jnp.int32(0), jnp.int32(0), acc0, vacc0))
+        jax.lax.while_loop(
+            lambda carry: carry[0] < n_tiles_p,
+            lambda carry: trip(0, carry),
+            (jnp.int32(0), start, acc0, vacc0))
 
     return kernel
 
@@ -276,13 +299,17 @@ def searchsorted_cdf_pallas(log_weight, pos, values=(), *,
 
 
 def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
+                                   chunks: int = 1,
                                    interpret: bool = False):
     """idx[b, j] = #{i: cdf[b, i] <= pos[b, j]} for an ALREADY-normalized
     sorted CDF, optionally gathering `values` columns at those indices.
 
-    CDF and position lengths may differ: the distributed resampler
-    searches the all-gathered GLOBAL CDF `[B, K]` with only this shard's
-    `[B, K_local]` position grid.
+    CDF and position lengths may differ. With `chunks > 1` the positions
+    are processed by a (B, chunks) grid while the CDF (and value columns)
+    stay VMEM-resident per batch row - the large-K layout (a 1M-particle
+    CDF is 4 MB). Each chunk's merge starts at a precomputed CDF tile
+    (all earlier tiles lie fully below its positions), so total work
+    stays O(K) instead of chunks * O(K).
     """
     interpret = interpret or FORCE_INTERPRET
     batch_size, kc = cdf.shape
@@ -290,7 +317,10 @@ def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
     values = list(values)
     num_values = len(values)
     kc_pad = _padded_k(kc)
-    kp_pad = _padded_k(kp)
+    # Chunk row-counts must be multiples of both the merge-tile height
+    # and the 8-sublane alignment Mosaic requires of block shapes.
+    row_align = max(MERGE_ROWS, 8)
+    kp_pad = _round_up(kp, chunks * row_align * LANE)
     if kc_pad != kc:
         # Padding above every position (pos < 1): never counted.
         cdf = jnp.pad(cdf, ((0, 0), (0, kc_pad - kc)), constant_values=2.0)
@@ -299,26 +329,51 @@ def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
         pos = jnp.pad(pos, ((0, 0), (0, kp_pad - kp)), constant_values=2.0)
     rc = kc_pad // LANE
     rp = kp_pad // LANE
+    rp_chunk = rp // chunks
+    n_tiles_c = rc // MERGE_ROWS
 
-    c_spec = pl.BlockSpec((rc, LANE), lambda b: (b, 0),
+    c_spec = pl.BlockSpec((rc, LANE), lambda b, c: (b, 0),
                           memory_space=pltpu.VMEM)
-    p_spec = pl.BlockSpec((rp, LANE), lambda b: (b, 0),
+    p_spec = pl.BlockSpec((rp_chunk, LANE), lambda b, c: (b * chunks + c, 0),
                           memory_space=pltpu.VMEM)
+    with_start = chunks > 1
+    in_specs = [c_spec, p_spec] + [c_spec] * num_values
+    operands = [cdf.astype(jnp.float32).reshape(batch_size * rc, LANE),
+                pos.astype(jnp.float32).reshape(batch_size * rp, LANE)] +                [jnp.asarray(v).astype(jnp.float32).reshape(
+                   batch_size * rc, LANE) for v in values]
+    if with_start:
+        # First CDF tile each chunk needs: tiles whose max <= the chunk's
+        # first position are entirely below it (counted as full blocks).
+        tile_max = cdf.reshape(batch_size, n_tiles_c,
+                               MERGE_ROWS * LANE)[:, :, -1]    # [B, Tc]
+        first_pos = pos.reshape(batch_size, chunks, -1)[:, :, 0]
+        # Plain compare-count (tiny [B, Tc, C]); avoids jnp.searchsorted's
+        # internal jit, whose closed_call trips a JAX 0.9.0 MLIR-lowering
+        # cache bug under nested scans in this environment.
+        starts = jnp.sum(
+            (tile_max[:, :, None] <= first_pos[:, None, :]).astype(
+                jnp.int32), axis=1)                            # [B, C]
+        starts = jnp.clip(starts, 0, n_tiles_c - 1).astype(jnp.int32)
+        in_specs = [pl.BlockSpec(
+            (batch_size, chunks), lambda b, c: (0, 0),
+            memory_space=pltpu.SMEM)] + in_specs
+        operands = [starts] + operands
+
     outputs = pl.pallas_call(
-        _make_resample_kernel(num_values, cdf_input=True),
-        grid=(batch_size,),
-        in_specs=[c_spec, p_spec] + [c_spec] * num_values,
+        _make_resample_kernel(num_values, cdf_input=True,
+                              with_start=with_start),
+        grid=(batch_size, chunks),
+        in_specs=in_specs,
         out_specs=[p_spec] * (1 + num_values),
         out_shape=(
             [jax.ShapeDtypeStruct((batch_size * rp, LANE), jnp.int32)] +
             [jax.ShapeDtypeStruct((batch_size * rp, LANE), jnp.float32)
              for _ in range(num_values)]),
-        scratch_shapes=[pltpu.VMEM((rc, LANE), jnp.float32)],
+        # cdf_input reads the CDF straight from the input ref; tiny dummy
+        # scratch keeps the kernel signature uniform.
+        scratch_shapes=[pltpu.VMEM((MERGE_ROWS, LANE), jnp.float32)],
         interpret=interpret,
-    )(cdf.astype(jnp.float32).reshape(batch_size * rc, LANE),
-      pos.astype(jnp.float32).reshape(batch_size * rp, LANE),
-      *[jnp.asarray(v).astype(jnp.float32).reshape(batch_size * rc, LANE)
-        for v in values])
+    )(*operands)
     idx = jnp.clip(outputs[0].reshape(batch_size, kp_pad)[:, :kp],
                    0, kc - 1)
     if not num_values:
@@ -334,9 +389,9 @@ def resampling_positions(log_weight, key, method: str = "systematic"):
     from .. import resampling
 
     batch_size, k = jnp.shape(log_weight)
-    if k > MAX_KERNEL_PARTICLES:
+    if k > LARGE_KERNEL_PARTICLES:
         raise ValueError(
-            f"pallas resampler supports K <= {MAX_KERNEL_PARTICLES}; "
+            f"pallas resampler supports K <= {LARGE_KERNEL_PARTICLES}; "
             f"shard the particle axis (aesmc_tpu.parallel) for K = {k}")
     dtype = jnp.result_type(float)
     if method == "systematic":
@@ -357,6 +412,13 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
     positions are drawn exactly as in the XLA implementations)."""
     log_weight = jnp.asarray(log_weight)
     pos = resampling_positions(log_weight, key, method)
+    k = log_weight.shape[1]
+    if k > MAX_KERNEL_PARTICLES:
+        from .. import resampling as _r
+        cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
+        chunks = max(1, -(-k // LARGE_K_CHUNK))
+        return searchsorted_sorted_cdf_pallas(cdf, pos, chunks=chunks,
+                                              interpret=interpret)
     return searchsorted_cdf_pallas(jax.lax.stop_gradient(log_weight), pos,
                                    interpret=interpret)
 
@@ -400,22 +462,25 @@ def _rg_bwd(residuals, cotangents):
 resample_and_gather.defvjp(_rg_fwd, _rg_bwd)
 
 
-@jax.custom_vjp
-def resample_and_gather_cdf(cdf, pos, columns):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def resample_and_gather_cdf(chunks, cdf, pos, columns):
     """Differentiable fused search+gather for an ALREADY-normalized CDF
-    (the distributed resampler's per-shard global-CDF path). Value
-    gradients are segment-summed back to the sources; cdf/pos are
-    detached (reference stop-gradient semantics)."""
-    idx, gathered = searchsorted_sorted_cdf_pallas(cdf, pos, columns)
+    (the distributed resampler's per-shard global-CDF path, and the
+    single-chip large-K path with `chunks > 1`). Value gradients are
+    segment-summed back to the sources; cdf/pos are detached (reference
+    stop-gradient semantics)."""
+    idx, gathered = searchsorted_sorted_cdf_pallas(cdf, pos, columns,
+                                                   chunks=chunks)
     return idx, tuple(gathered)
 
 
-def _rgc_fwd(cdf, pos, columns):
-    idx, gathered = searchsorted_sorted_cdf_pallas(cdf, pos, columns)
+def _rgc_fwd(chunks, cdf, pos, columns):
+    idx, gathered = searchsorted_sorted_cdf_pallas(cdf, pos, columns,
+                                                   chunks=chunks)
     return (idx, tuple(gathered)), (idx, cdf.shape[1])
 
 
-def _rgc_bwd(residuals, cotangents):
+def _rgc_bwd(chunks, residuals, cotangents):
     idx, k_sources = residuals
     _, g_gathered = cotangents
 

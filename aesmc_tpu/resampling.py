@@ -190,7 +190,7 @@ def resolve_implementation(shape, method: str, implementation) -> str:
         try:
             from .ops import resample_pallas
             if resample_pallas.AVAILABLE and \
-                    shape[-1] <= resample_pallas.MAX_KERNEL_PARTICLES:
+                    shape[-1] <= resample_pallas.LARGE_KERNEL_PARTICLES:
                 return "pallas"
         except ImportError:
             pass
@@ -265,6 +265,19 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
             from .ops import resample_pallas
             pos = resample_pallas.resampling_positions(
                 log_weight, key, method)
+            k = log_weight.shape[1]
+            if k > resample_pallas.MAX_KERNEL_PARTICLES:
+                # Large-K path: CDF in XLA, chunked-position kernel with
+                # the CDF + one value column VMEM-resident per call.
+                cdf = _normalized_cumsum(log_weight)
+                chunks = max(1, -(-k // resample_pallas.LARGE_K_CHUNK))
+                idx = None
+                gathered = []
+                for col in columns:
+                    idx, g = resample_pallas.resample_and_gather_cdf(
+                        chunks, cdf, pos, (col,))
+                    gathered.append(g[0])
+                return idx, rebuild(gathered)
             idx, gathered = resample_pallas.resample_and_gather(
                 log_weight, pos, tuple(columns))
             return idx, rebuild(list(gathered))

@@ -57,7 +57,7 @@ def test_marginals():
 
 
 def test_too_many_particles_raises():
-    lw = jnp.zeros((1, resample_pallas.MAX_KERNEL_PARTICLES + 128))
+    lw = jnp.zeros((1, resample_pallas.LARGE_KERNEL_PARTICLES + 128))
     with pytest.raises(ValueError, match="shard the particle axis"):
         resample_pallas.sample_ancestral_index_pallas(lw, KEY)
 
@@ -130,3 +130,60 @@ class TestFusedGather:
         np.testing.assert_allclose(
             np.asarray(results["xla"]["latents"]),
             np.asarray(results["pallas"]["latents"]), atol=1e-5)
+
+
+class TestLargeKPath:
+    """K > MAX_KERNEL_PARTICLES: XLA CDF + chunked-position kernel with
+    start-tile hints (thresholds shrunk here so the route runs at test
+    sizes)."""
+
+    def setup_method(self):
+        resample_pallas.FORCE_INTERPRET = True
+        self._max = resample_pallas.MAX_KERNEL_PARTICLES
+        self._chunk = resample_pallas.LARGE_K_CHUNK
+        resample_pallas.MAX_KERNEL_PARTICLES = 2048
+        resample_pallas.LARGE_K_CHUNK = 1024
+
+    def teardown_method(self):
+        resample_pallas.FORCE_INTERPRET = False
+        resample_pallas.MAX_KERNEL_PARTICLES = self._max
+        resample_pallas.LARGE_K_CHUNK = self._chunk
+
+    def test_matches_xla_exactly(self):
+        from aesmc_tpu import resampling, state
+        rng = np.random.RandomState(0)
+        B, K = 2, 8192
+        lw = jnp.asarray(rng.randn(B, K).astype(np.float32))
+        value = {"x": jnp.asarray(rng.randn(B, K).astype(np.float32)),
+                 "y": jnp.asarray(rng.randn(B, K, 2).astype(np.float32))}
+        idx, out = resampling.sample_ancestral_index_and_resample(
+            lw, KEY, value, method="systematic", implementation="pallas")
+        # Same XLA cumsum on both sides -> bit-identical indices.
+        np.testing.assert_array_equal(
+            np.asarray(idx),
+            np.asarray(resampling.systematic_indices(lw, KEY)))
+        want = state.resample(value, idx)
+        np.testing.assert_array_equal(np.asarray(out["x"]),
+                                      np.asarray(want["x"]))
+        np.testing.assert_array_equal(np.asarray(out["y"]),
+                                      np.asarray(want["y"]))
+
+    def test_gradients_flow(self):
+        from aesmc_tpu import resampling
+        rng = np.random.RandomState(1)
+        B, K = 1, 4096
+        lw = jnp.asarray(rng.randn(B, K).astype(np.float32))
+        cot = jnp.asarray(rng.randn(B, K).astype(np.float32))
+
+        def f(v):
+            _, out = resampling.sample_ancestral_index_and_resample(
+                lw, KEY, v, implementation="pallas")
+            return jnp.sum(out * cot)
+
+        v0 = jnp.asarray(rng.randn(B, K).astype(np.float32))
+        g = jax.grad(f)(v0)
+        idx = resampling.systematic_indices(lw, KEY)
+        g_ref = jax.grad(lambda v: jnp.sum(
+            jnp.take_along_axis(v, idx, 1) * cot))(v0)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=1e-5)
