@@ -50,10 +50,12 @@ LANE = 128
 MAX_KERNEL_PARTICLES = 128 * 1024
 # Above that, the large-K path computes the CDF in XLA and runs the
 # chunked-position kernel: CDF + one value column stay VMEM-resident
-# (2 x (4+4) bytes/particle double-buffered) -> caps near 512k. Beyond
-# that, K must be sharded (aesmc_tpu.parallel) or fall back to XLA;
-# a manually-DMA'd HBM-streaming kernel is the planned lift.
-LARGE_KERNEL_PARTICLES = 512 * 1024
+# (2 x (4+4) bytes/particle double-buffered) up to 512k...
+VMEM_RESIDENT_PARTICLES = 512 * 1024
+# ...and beyond that live in HBM, DMA'd once per program into
+# single-buffered scratch ((1 + num_values) * 4 bytes/particle): 1M
+# fused. Past that, shard the particle axis (aesmc_tpu.parallel).
+LARGE_KERNEL_PARTICLES = 1024 * 1024
 LARGE_K_CHUNK = 128 * 1024
 
 
@@ -62,8 +64,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _padded_k(k: int) -> int:
-    # R must be a multiple of the merge-tile height.
-    return _round_up(k, MERGE_ROWS * LANE)
+    # R must be a multiple of the merge-tile height AND of the 8-sublane
+    # block alignment Mosaic requires (blocks smaller than the array must
+    # have sublane counts divisible by 8).
+    return _round_up(k, max(MERGE_ROWS, 8) * LANE)
 
 
 import os as _os
@@ -100,7 +104,8 @@ def _row_prefix(x):
 
 
 def _make_resample_kernel(num_values: int, cdf_input: bool = False,
-                          with_start: bool = False):
+                          with_start: bool = False,
+                          hbm_inputs: bool = False):
     """Builds the fused kernel for `num_values` gathered value arrays.
 
     Refs: logw [Rc,128] (or, with cdf_input=True, an already-normalized
@@ -131,15 +136,37 @@ def _make_resample_kernel(num_values: int, cdf_input: bool = False,
         out_ref = refs[2 + num_values]
         vout_refs = refs[3 + num_values:3 + 2 * num_values]
         cum_ref = refs[3 + 2 * num_values]
+        if hbm_inputs:
+            v_scratch = refs[4 + 2 * num_values:4 + 3 * num_values]
+            dma_sems = refs[4 + 3 * num_values]
 
-        r = logw_ref.shape[0]
+        # CDF row count: the input ref for VMEM paths; the scratch for
+        # the HBM path (the input there is the full [B*Rc, 128] array).
+        r = cum_ref.shape[0] if hbm_inputs else logw_ref.shape[0]
         w_tile = MERGE_ROWS
         n_tiles = r // w_tile                     # CDF tiles
         n_tiles_p = pos_ref.shape[0] // w_tile    # position tiles
         tile_k = w_tile * LANE
 
-        if cdf_input:
+        if hbm_inputs:
+            # CDF and value columns live in HBM (too big for Pallas's
+            # double-buffered input pipeline); DMA this batch row's slice
+            # into single-buffered VMEM scratch once per program.
+            b = pl.program_id(0)
+            copies = [pltpu.make_async_copy(
+                logw_ref.at[pl.ds(b * r, r), :], cum_ref, dma_sems.at[0])]
+            copies += [pltpu.make_async_copy(
+                v_refs[q].at[pl.ds(b * r, r), :], v_scratch[q],
+                dma_sems.at[1 + q]) for q in range(num_values)]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            cum_src = cum_ref
+            v_srcs = list(v_scratch)
+        elif cdf_input:
             cum_src = logw_ref
+            v_srcs = list(v_refs)
         else:
             cum_src = cum_ref
             # ---- 1. Stable weights.
@@ -151,6 +178,8 @@ def _make_resample_kernel(num_values: int, cdf_input: bool = False,
             row_prefix = _row_prefix(totals)                  # [R, 1]
             total = row_prefix[r - 1, 0]
             cum_ref[:, :] = (within + row_prefix - totals) / total
+        if not hbm_inputs and not cdf_input:
+            v_srcs = list(v_refs)
 
         # ---- 3-4. Two-cursor merge over [w_tile, 128] tiles.
         def trip(_, carry):
@@ -160,7 +189,7 @@ def _make_resample_kernel(num_values: int, cdf_input: bool = False,
             p_safe = jnp.minimum(p, n_tiles_p - 1)
             pos_tile = pos_ref[pl.ds(p_safe * w_tile, w_tile), :]
             cum_tile = cum_src[pl.ds(rr * w_tile, w_tile), :]
-            v_tiles = [vr[pl.ds(rr * w_tile, w_tile), :] for vr in v_refs]
+            v_tiles = [vr[pl.ds(rr * w_tile, w_tile), :] for vr in v_srcs]
 
             # CDF value just before this tile (0 for the first tile).
             rr_prev = jnp.maximum(rr * w_tile - 1, 0)
@@ -300,6 +329,7 @@ def searchsorted_cdf_pallas(log_weight, pos, values=(), *,
 
 def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
                                    chunks: int = 1,
+                                   hbm_resident: bool = False,
                                    interpret: bool = False):
     """idx[b, j] = #{i: cdf[b, i] <= pos[b, j]} for an ALREADY-normalized
     sorted CDF, optionally gathering `values` columns at those indices.
@@ -332,8 +362,14 @@ def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
     rp_chunk = rp // chunks
     n_tiles_c = rc // MERGE_ROWS
 
-    c_spec = pl.BlockSpec((rc, LANE), lambda b, c: (b, 0),
-                          memory_space=pltpu.VMEM)
+    if hbm_resident:
+        # CDF/value columns exceed the double-buffered VMEM pipeline
+        # budget: hand the kernel the whole arrays and let it DMA its
+        # batch row into single-buffered scratch.
+        c_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        c_spec = pl.BlockSpec((rc, LANE), lambda b, c: (b, 0),
+                              memory_space=pltpu.VMEM)
     p_spec = pl.BlockSpec((rp_chunk, LANE), lambda b, c: (b * chunks + c, 0),
                           memory_space=pltpu.VMEM)
     with_start = chunks > 1
@@ -359,9 +395,18 @@ def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
             memory_space=pltpu.SMEM)] + in_specs
         operands = [starts] + operands
 
+    if hbm_resident:
+        scratch_shapes = (
+            [pltpu.VMEM((rc, LANE), jnp.float32)] * (1 + num_values) +
+            [pltpu.SemaphoreType.DMA((1 + num_values,))])
+    else:
+        # cdf_input reads the CDF straight from the input ref; tiny dummy
+        # scratch keeps the kernel signature uniform.
+        scratch_shapes = [pltpu.VMEM((MERGE_ROWS, LANE), jnp.float32)]
     outputs = pl.pallas_call(
         _make_resample_kernel(num_values, cdf_input=True,
-                              with_start=with_start),
+                              with_start=with_start,
+                              hbm_inputs=hbm_resident),
         grid=(batch_size, chunks),
         in_specs=in_specs,
         out_specs=[p_spec] * (1 + num_values),
@@ -369,9 +414,7 @@ def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
             [jax.ShapeDtypeStruct((batch_size * rp, LANE), jnp.int32)] +
             [jax.ShapeDtypeStruct((batch_size * rp, LANE), jnp.float32)
              for _ in range(num_values)]),
-        # cdf_input reads the CDF straight from the input ref; tiny dummy
-        # scratch keeps the kernel signature uniform.
-        scratch_shapes=[pltpu.VMEM((MERGE_ROWS, LANE), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*operands)
     idx = jnp.clip(outputs[0].reshape(batch_size, kp_pad)[:, :kp],
@@ -417,8 +460,10 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
         from .. import resampling as _r
         cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
         chunks = max(1, -(-k // LARGE_K_CHUNK))
-        return searchsorted_sorted_cdf_pallas(cdf, pos, chunks=chunks,
-                                              interpret=interpret)
+        return searchsorted_sorted_cdf_pallas(
+            cdf, pos, chunks=chunks,
+            hbm_resident=k > VMEM_RESIDENT_PARTICLES,
+            interpret=interpret)
     return searchsorted_cdf_pallas(jax.lax.stop_gradient(log_weight), pos,
                                    interpret=interpret)
 
@@ -462,25 +507,25 @@ def _rg_bwd(residuals, cotangents):
 resample_and_gather.defvjp(_rg_fwd, _rg_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def resample_and_gather_cdf(chunks, cdf, pos, columns):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def resample_and_gather_cdf(chunks, hbm_resident, cdf, pos, columns):
     """Differentiable fused search+gather for an ALREADY-normalized CDF
     (the distributed resampler's per-shard global-CDF path, and the
     single-chip large-K path with `chunks > 1`). Value gradients are
     segment-summed back to the sources; cdf/pos are detached (reference
     stop-gradient semantics)."""
-    idx, gathered = searchsorted_sorted_cdf_pallas(cdf, pos, columns,
-                                                   chunks=chunks)
+    idx, gathered = searchsorted_sorted_cdf_pallas(
+        cdf, pos, columns, chunks=chunks, hbm_resident=hbm_resident)
     return idx, tuple(gathered)
 
 
-def _rgc_fwd(chunks, cdf, pos, columns):
-    idx, gathered = searchsorted_sorted_cdf_pallas(cdf, pos, columns,
-                                                   chunks=chunks)
+def _rgc_fwd(chunks, hbm_resident, cdf, pos, columns):
+    idx, gathered = searchsorted_sorted_cdf_pallas(
+        cdf, pos, columns, chunks=chunks, hbm_resident=hbm_resident)
     return (idx, tuple(gathered)), (idx, cdf.shape[1])
 
 
-def _rgc_bwd(chunks, residuals, cotangents):
+def _rgc_bwd(chunks, hbm_resident, residuals, cotangents):
     idx, k_sources = residuals
     _, g_gathered = cotangents
 

@@ -180,7 +180,7 @@ def distributed_systematic_resample(log_weight, key, value, axis_name: str,
             for dcol in range(flat.shape[-1]):
                 columns.append(flat[:, :, dcol])
         idx, gathered_cols = resample_pallas.resample_and_gather_cdf(
-            1, global_cum, pos, tuple(columns))
+            1, False, global_cum, pos, tuple(columns))
         idx = jnp.clip(idx, 0, k_global - 1).astype(jnp.int32)
         out_leaves = []
         it = iter(gathered_cols)

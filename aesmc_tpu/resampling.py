@@ -271,11 +271,12 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
                 # the CDF + one value column VMEM-resident per call.
                 cdf = _normalized_cumsum(log_weight)
                 chunks = max(1, -(-k // resample_pallas.LARGE_K_CHUNK))
+                hbm = k > resample_pallas.VMEM_RESIDENT_PARTICLES
                 idx = None
                 gathered = []
                 for col in columns:
                     idx, g = resample_pallas.resample_and_gather_cdf(
-                        chunks, cdf, pos, (col,))
+                        chunks, hbm, cdf, pos, (col,))
                     gathered.append(g[0])
                 return idx, rebuild(gathered)
             idx, gathered = resample_pallas.resample_and_gather(

@@ -187,3 +187,24 @@ class TestLargeKPath:
             jnp.take_along_axis(v, idx, 1) * cot))(v0)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    atol=1e-5)
+
+
+def test_hbm_resident_mode_interpret():
+    """HBM-resident inputs (DMA'd once into scratch) must match host
+    searchsorted exactly in interpret mode."""
+    rng = np.random.RandomState(0)
+    B, Kc, C = 2, 4096, 4
+    w = rng.rand(B, Kc).astype(np.float32)
+    cdf = np.cumsum(w, 1)
+    cdf = cdf / cdf[:, -1:]
+    pos = np.sort(rng.rand(B, Kc).astype(np.float32), axis=1)
+    want = np.clip(np.stack([
+        np.searchsorted(cdf[b], pos[b], side="right") for b in range(B)]),
+        0, Kc - 1)
+    v = rng.randn(B, Kc).astype(np.float32)
+    idx, gathered = resample_pallas.searchsorted_sorted_cdf_pallas(
+        jnp.asarray(cdf), jnp.asarray(pos), (jnp.asarray(v),), chunks=C,
+        hbm_resident=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), want)
+    np.testing.assert_array_equal(np.asarray(gathered[0]),
+                                  np.take_along_axis(v, want, 1))
