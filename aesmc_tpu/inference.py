@@ -121,6 +121,18 @@ class ObservationSequence:
     def __getitem__(self, t):
         if isinstance(t, TimeIndex):
             t = t.value
+        if isinstance(t, slice):
+            # Static slices only (reference code does observations[:time]
+            # with a Python-int time at the hoisted step); traced bounds
+            # cannot produce a static shape.
+            if any(isinstance(b, TimeIndex) or (
+                    b is not None and not isinstance(b, int))
+                   for b in (t.start, t.stop, t.step)):
+                raise TypeError(
+                    "ObservationSequence slices need Python-int bounds; "
+                    "index single steps with traced times instead")
+            sliced = jax.tree_util.tree_map(lambda x: x[t], self.stacked)
+            return ObservationSequence(sliced)
         return jax.tree_util.tree_map(lambda x: x[t], self.stacked)
 
     def __len__(self):

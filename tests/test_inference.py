@@ -554,3 +554,20 @@ class TestShapeErrors:
         from aesmc_tpu import state as astate
         with pytest.raises(AssertionError):
             astate.resample(jnp.zeros((2, 5)), jnp.zeros((2, 4), jnp.int32))
+
+
+class TestObservationSlicing:
+    def test_static_slice(self):
+        stacked = jnp.arange(12.0).reshape(4, 3)
+        seq = inference.ObservationSequence(stacked)
+        sub = seq[:2]
+        assert isinstance(sub, inference.ObservationSequence)
+        assert len(sub) == 2
+        np.testing.assert_array_equal(np.asarray(sub[1]),
+                                      np.asarray(stacked[1]))
+
+    def test_traced_slice_raises(self):
+        seq = inference.ObservationSequence(jnp.zeros((4, 3)))
+        t = inference.TimeIndex(jnp.asarray(2))
+        with pytest.raises(TypeError, match="Python-int bounds"):
+            seq[:t]
