@@ -73,7 +73,8 @@ def _padded_k(k: int) -> int:
 import os as _os
 
 # Merge-tile height (particles per trip = MERGE_ROWS * 128). Overridable
-# for benchmarking sweeps; 8 balances trip count vs per-trip compute.
+# for benchmarking sweeps; 4 measured optimal on v5e (trip overhead vs
+# per-trip compute, which scales with the tile height squared).
 MERGE_ROWS = int(_os.environ.get("AESMC_MERGE_ROWS", "4"))
 
 

@@ -227,3 +227,77 @@ def get_synthetic_dataloader(initial, transition, emission,
     """Parity wrapper for /root/reference/aesmc/train.py:65-71."""
     return SyntheticDataLoader(initial, transition, emission, num_timesteps,
                                batch_size, key)
+
+
+def train_on_device(initial, transition, emission, proposal,
+                    num_particles: int, algorithm: str,
+                    generative_components, num_timesteps: int,
+                    batch_size: int, num_steps: int,
+                    optimizer: Optional[optax.GradientTransformation] = None,
+                    key=None, steps_per_call: int = 100,
+                    resampling_method: str = "systematic",
+                    resampling_implementation: str = "auto",
+                    callback: Optional[Callable] = None):
+    """Fully on-device training: synthetic data generation + train step
+    fused into one `lax.scan`, `steps_per_call` iterations per dispatch.
+
+    The reference round-trips the host every iteration (DataLoader +
+    Python loop, /root/reference/aesmc/train.py:28-41); `train` keeps
+    that granularity for callback parity. This variant eliminates
+    per-iteration dispatch entirely - the right shape for TPU (and the
+    sustained-throughput numbers bench.py reports).
+
+    Args:
+        generative_components: (initial, transition, emission) tuple the
+            synthetic observations are drawn from.
+        callback: called once per DISPATCH with
+            (step_index, mean_loss_of_block, components).
+
+    Returns:
+        (components, losses `[num_steps]`).
+    """
+    if optimizer is None:
+        optimizer = optax.adam(1e-3)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    gen_initial, gen_transition, gen_emission = generative_components
+
+    components = (initial, transition, emission, proposal)
+    opt_state = optimizer.init(components)
+    step = make_train_step(
+        num_particles, algorithm, optimizer,
+        resampling_method=resampling_method,
+        resampling_implementation=resampling_implementation, jit=False)
+
+    @jax.jit
+    def run_block(components, opt_state, key):
+        def body(carry, _):
+            components, opt_state, key = carry
+            key, k_data, k_step = jax.random.split(key, 3)
+            _, observations = statistics.sample_from_prior(
+                gen_initial, gen_transition, gen_emission, num_timesteps,
+                batch_size, k_data)
+            components, opt_state, loss = step(
+                components, opt_state, observations, k_step)
+            return (components, opt_state, key), loss
+
+        (components, opt_state, key), losses_block = jax.lax.scan(
+            body, (components, opt_state, key), None,
+            length=steps_per_call)
+        return components, opt_state, key, losses_block
+
+    all_losses = []
+    done = 0
+    while done < num_steps:
+        block = min(steps_per_call, num_steps - done)
+        components, opt_state, key, losses_block = run_block(
+            components, opt_state, key)
+        # Tail: run a full block but keep only the needed losses (the
+        # extra steps are harmless extra optimization).
+        losses_block = losses_block[:block]
+        done += block
+        all_losses.append(losses_block)
+        if callback is not None:
+            callback(done, float(jnp.mean(losses_block)), components)
+
+    return components, jnp.concatenate(all_losses)[:num_steps]

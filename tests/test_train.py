@@ -227,3 +227,27 @@ class TestTrainCheckpointing:
             checkpoint_dir=ckpt_dir, resume=True)
         np.testing.assert_allclose(float(comps2[1].mult),
                                    float(comps[1].mult), rtol=1e-6)
+
+
+class TestTrainOnDevice:
+    def test_fused_loop_learns(self):
+        from aesmc_tpu.models import lgssm as _lgssm
+        gen = (_lgssm.Initial(0.0, 1.0),
+               _lgssm.Transition.create(0.9, 1.0),
+               _lgssm.Emission.create(1.0, 0.1))
+        blocks = []
+        comps, hist = train.train_on_device(
+            _lgssm.Initial(0.0, 1.0),
+            _lgssm.Transition.create(0.0, 1.0),
+            _lgssm.Emission.create(0.3, 0.1),
+            _lgssm.Proposal.create(1.0, 1.0, KEY),
+            num_particles=32, algorithm="aesmc",
+            generative_components=gen, num_timesteps=10, batch_size=8,
+            num_steps=120, optimizer=optax.adam(5e-2), key=KEY,
+            steps_per_call=50,
+            callback=lambda i, l, c: blocks.append((i, l)))
+        assert hist.shape == (120,)
+        assert [b[0] for b in blocks] == [50, 100, 120]
+        # Parameters moved toward the truth.
+        assert abs(float(comps[1].mult) - 0.9) < 0.45
+        assert float(jnp.mean(hist[-30:])) < float(jnp.mean(hist[:30]))
