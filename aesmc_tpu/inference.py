@@ -26,7 +26,12 @@ User-component contract (mirrors /root/reference/aesmc/inference.py:20-46):
 four callables returning `aesmc_tpu.distributions.Distribution`s (or dicts
 thereof). `previous_latents` / `latents` are length-1 lists holding the
 previous/current latent (`[-1]` indexing works exactly as with the
-reference's growing lists). `observations` is an `ObservationSequence`:
+reference's growing lists); pass `history_window=W` to `infer` for
+length-W lists carrying the last W latents (non-Markov models reading
+`previous_latents[-2]` etc.). `previous_observations` is a length-1 list
+holding y_{t-1} (the reference passes observations[:t], whose [-1] entry
+is y_{t-1}); with `history_window=W` it holds the last W observations.
+`observations` is an `ObservationSequence`:
 `observations[t]` works for both Python-int and traced `t`, and `len()`
 gives the number of timesteps. `time` is the Python int 0 for the hoisted
 initial step and a `TimeIndex` (traced, known >= 1, so `time == 0` is
@@ -280,8 +285,9 @@ def infer(inference_algorithm: str,
             return tree
 
     # Two independent PRNG streams per timestep: resampling + proposal.
-    step_keys = jax.random.split(key, 2 * num_timesteps).reshape(
-        num_timesteps, 2, -1)
+    # Shape-based split works for both legacy uint32 and new-style typed
+    # keys (reshape(..., -1) would mangle typed key arrays).
+    step_keys = jax.random.split(key, (num_timesteps, 2))
     resolved_impl = resampling.resolve_implementation(
         (batch_size, num_particles), resampling_method,
         resampling_implementation)
@@ -309,7 +315,12 @@ def infer(inference_algorithm: str,
     if num_timesteps > 1:
         def step(carry, inputs):
             prev_latent, prev_log_weight = carry
-            obs_t, t, keys_t = inputs
+            obs_t, obs_prev, t, keys_t = inputs
+            # Reference contract: previous_observations = observations[:t],
+            # whose [-1] entry is y_{t-1}. A length-1 list holding y_{t-1}
+            # preserves the [-1] indexing every reference model uses
+            # (/root/reference/aesmc/inference.py:20-46).
+            prev_obs_list = [obs_prev]
             time = TimeIndex(t)
 
             if is_smc and resampling_method == "soft":
@@ -381,11 +392,11 @@ def infer(inference_algorithm: str,
             proposal_lp = state.log_prob(proposal_dist, latent_t)
             transition_lp = state.log_prob(
                 transition(previous_latents=[previous_latent], time=time,
-                           previous_observations=obs_seq),
+                           previous_observations=prev_obs_list),
                 latent_t)
             emission_lp = state.log_prob(
                 emission(latents=[latent_t], time=time,
-                         previous_observations=obs_seq),
+                         previous_observations=prev_obs_list),
                 state.expand_observation(obs_t, num_particles))
             increment = transition_lp + emission_lp - proposal_lp
             log_weight_t = _constrain(
@@ -396,12 +407,13 @@ def infer(inference_algorithm: str,
                      contribution))
 
         rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
+        prev_obs = jax.tree_util.tree_map(lambda x: x[:-1], stacked_obs)
         times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
         body = jax.checkpoint(step) if remat else step
         (last_latent, _), \
             (rest_latents, rest_log_weights, anc, contributions) = \
             jax.lax.scan(body, (latent_0, log_weight_0),
-                         (rest_obs, times, step_keys[1:]))
+                         (rest_obs, prev_obs, times, step_keys[1:]))
         ancestral_indices = anc if is_smc else None
     else:
         last_latent = latent_0

@@ -44,48 +44,78 @@ class Initial:
 
 @struct.dataclass
 class Transition:
-    """x_t = A x_{t-1} + eps, eps ~ N(0, diag(scale^2)); A trainable."""
+    """x_t = A x_{t-1} + eps, eps ~ N(0, diag(scale^2)); A trainable.
+
+    With `create(..., train_scale=False)` (the default) the noise scale
+    is a STATIC aux field (a tuple of floats, not a pytree leaf), so no
+    optimizer - including ones with non-gradient terms like adamw's
+    decoupled weight decay - can touch it. With `train_scale=True` it is
+    a trainable leaf.
+    """
 
     matrix: Any                       # [D, D]
-    scale: Any                        # [D] (non-trainable buffer: pass
-                                      # via create(..., train_scale=False))
+    scale: Any                        # [D] leaf (None when frozen)
+    frozen_scale: Any = struct.field(pytree_node=False, default=None)
 
     @classmethod
-    def create(cls, matrix, scale):
+    def create(cls, matrix, scale, train_scale: bool = False):
         matrix = jnp.asarray(matrix, dtype=jnp.result_type(float))
         dim = matrix.shape[0]
         scale = jnp.broadcast_to(
             jnp.asarray(scale, dtype=matrix.dtype), (dim,))
-        return cls(matrix=matrix, scale=scale)
+        if train_scale:
+            return cls(matrix=matrix, scale=scale)
+        return cls(matrix=matrix, scale=None,
+                   frozen_scale=tuple(float(s) for s in scale))
+
+    @property
+    def noise_scale(self):
+        """The [D] noise scale, whether trainable or frozen."""
+        return self.scale if self.scale is not None \
+            else jnp.asarray(self.frozen_scale, jnp.result_type(float))
 
     def __call__(self, previous_latents=None, time=None,
                  previous_observations=None):
         prev = previous_latents[-1]                    # [B, K, D]
         loc = jnp.einsum("bkd,ed->bke", prev, self.matrix)
         return dists.MultivariateNormalDiag(
-            loc, jax.lax.stop_gradient(self.scale) * jnp.ones_like(loc),
+            loc, self.noise_scale.astype(loc.dtype) * jnp.ones_like(loc),
             batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
 
 
 @struct.dataclass
 class Emission:
-    """y_t = C x_t + eps, eps ~ N(0, diag(scale^2)); C trainable."""
+    """y_t = C x_t + eps, eps ~ N(0, diag(scale^2)); C trainable.
+
+    Scale freezing follows `Transition`: static aux field unless
+    `create(..., train_scale=True)`.
+    """
 
     matrix: Any                       # [D_obs, D]
-    scale: Any                        # [D_obs]
+    scale: Any                        # [D_obs] leaf (None when frozen)
+    frozen_scale: Any = struct.field(pytree_node=False, default=None)
 
     @classmethod
-    def create(cls, matrix, scale):
+    def create(cls, matrix, scale, train_scale: bool = False):
         matrix = jnp.asarray(matrix, dtype=jnp.result_type(float))
         d_obs = matrix.shape[0]
         scale = jnp.broadcast_to(
             jnp.asarray(scale, dtype=matrix.dtype), (d_obs,))
-        return cls(matrix=matrix, scale=scale)
+        if train_scale:
+            return cls(matrix=matrix, scale=scale)
+        return cls(matrix=matrix, scale=None,
+                   frozen_scale=tuple(float(s) for s in scale))
+
+    @property
+    def noise_scale(self):
+        """The [D_obs] noise scale, whether trainable or frozen."""
+        return self.scale if self.scale is not None \
+            else jnp.asarray(self.frozen_scale, jnp.result_type(float))
 
     def __call__(self, latents=None, time=None, previous_observations=None):
         loc = jnp.einsum("bkd,ed->bke", latents[-1], self.matrix)
         return dists.MultivariateNormalDiag(
-            loc, jax.lax.stop_gradient(self.scale) * jnp.ones_like(loc),
+            loc, self.noise_scale.astype(loc.dtype) * jnp.ones_like(loc),
             batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
 
 

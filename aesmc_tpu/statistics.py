@@ -90,8 +90,7 @@ def sample_from_prior(initial, transition, emission, num_timesteps: int,
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    step_keys = jax.random.split(key, 2 * num_timesteps).reshape(
-        num_timesteps, 2, -1)
+    step_keys = jax.random.split(key, (num_timesteps, 2))
 
     latent_0 = state.sample(initial(), batch_size, 1, step_keys[0, 0])
     obs_0 = state.sample(emission(latents=[latent_0], time=0), batch_size, 1,

@@ -269,35 +269,39 @@ def train_on_device(initial, transition, emission, proposal,
         resampling_method=resampling_method,
         resampling_implementation=resampling_implementation, jit=False)
 
-    @jax.jit
-    def run_block(components, opt_state, key):
-        def body(carry, _):
-            components, opt_state, key = carry
-            key, k_data, k_step = jax.random.split(key, 3)
-            _, observations = statistics.sample_from_prior(
-                gen_initial, gen_transition, gen_emission, num_timesteps,
-                batch_size, k_data)
-            components, opt_state, loss = step(
-                components, opt_state, observations, k_step)
-            return (components, opt_state, key), loss
+    def body(carry, _):
+        components, opt_state, key = carry
+        key, k_data, k_step = jax.random.split(key, 3)
+        _, observations = statistics.sample_from_prior(
+            gen_initial, gen_transition, gen_emission, num_timesteps,
+            batch_size, k_data)
+        components, opt_state, loss = step(
+            components, opt_state, observations, k_step)
+        return (components, opt_state, key), loss
 
-        (components, opt_state, key), losses_block = jax.lax.scan(
-            body, (components, opt_state, key), None,
-            length=steps_per_call)
-        return components, opt_state, key, losses_block
+    # One compiled scan per distinct block length (at most two: the main
+    # block and the tail), so exactly num_steps optimizer updates run and
+    # the returned losses correspond 1:1 to the model returned.
+    run_blocks = {}
+
+    def run_block(length, components, opt_state, key):
+        if length not in run_blocks:
+            def run(components, opt_state, key):
+                (components, opt_state, key), losses_block = jax.lax.scan(
+                    body, (components, opt_state, key), None, length=length)
+                return components, opt_state, key, losses_block
+            run_blocks[length] = jax.jit(run)
+        return run_blocks[length](components, opt_state, key)
 
     all_losses = []
     done = 0
     while done < num_steps:
         block = min(steps_per_call, num_steps - done)
         components, opt_state, key, losses_block = run_block(
-            components, opt_state, key)
-        # Tail: run a full block but keep only the needed losses (the
-        # extra steps are harmless extra optimization).
-        losses_block = losses_block[:block]
+            block, components, opt_state, key)
         done += block
         all_losses.append(losses_block)
         if callback is not None:
             callback(done, float(jnp.mean(losses_block)), components)
 
-    return components, jnp.concatenate(all_losses)[:num_steps]
+    return components, jnp.concatenate(all_losses)

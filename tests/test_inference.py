@@ -508,22 +508,20 @@ class TestLongSequence:
 
 class TestAutoregressiveObservations:
     """Models whose dynamics consume previous observations - the engine
-    passes the full ObservationSequence (indexable at `time - 1` via
-    TimeIndex arithmetic) where the reference passed a sliced list."""
+    passes a length-1 list whose [-1] entry is y_{t-1}, matching the
+    reference's observations[:time] contract
+    (/root/reference/aesmc/inference.py:20-46)."""
 
     class ArEmission:
         def __call__(self, latents=None, time=None,
                      previous_observations=None):
             from aesmc_tpu.state import BatchShapeMode
             loc = latents[-1]
-            if isinstance(previous_observations, list):
-                # generative rollout: [previous observation]
-                prev_obs = previous_observations[-1]
+            if previous_observations is not None and time != 0:
+                prev_obs = jnp.asarray(previous_observations[-1])
+                # [B] during inference, [B, 1] during generative rollout.
+                prev_obs = prev_obs.reshape(prev_obs.shape[0], -1)
                 loc = loc + 0.5 * prev_obs
-            elif time != 0 and previous_observations is not None:
-                # inside the inference scan: index the full sequence
-                prev_obs = previous_observations[time - 1]   # [B]
-                loc = loc + 0.5 * prev_obs[:, None]
             return dists.Normal(
                 loc, 0.3, batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
 

@@ -45,9 +45,11 @@ class TestLgssmNd:
         g = jax.grad(loss_fn)(transition)
         assert np.isfinite(np.asarray(g.matrix)).all()
         assert np.abs(np.asarray(g.matrix)).sum() > 0
-        # stop_gradient on the noise scale: no gradient flows.
-        np.testing.assert_array_equal(np.asarray(g.scale),
-                                      np.zeros_like(g.scale))
+        # Frozen noise scale is a static aux field, not a pytree leaf:
+        # no optimizer (including adamw's weight decay) can touch it.
+        assert g.scale is None
+        assert transition.scale is None
+        assert isinstance(transition.frozen_scale, tuple)
 
     def test_spectral_radius(self):
         _, transition, _, _ = lgssm_nd.make_model(dim=5, key=KEY,
@@ -301,9 +303,9 @@ class TestKalmanNdOracle:
         params = kalman_nd.KalmanNdParams(
             initial_mean=np.zeros(dim), initial_cov=np.eye(dim),
             transition_matrix=np.asarray(transition.matrix),
-            transition_cov=np.diag(np.asarray(transition.scale) ** 2),
+            transition_cov=np.diag(np.asarray(transition.noise_scale) ** 2),
             emission_matrix=np.asarray(emission.matrix),
-            emission_cov=np.diag(np.asarray(emission.scale) ** 2))
+            emission_cov=np.diag(np.asarray(emission.noise_scale) ** 2))
         km, kv, _, _, exact_lml = kalman_nd.kalman_filter_nd(
             np.asarray(obs[:, 0]), params)
 
