@@ -186,6 +186,7 @@ def infer(inference_algorithm: str,
           resampling_implementation: str = "auto",
           resampling_criterion="always",
           soft_resampling_alpha: float = 0.5,
+          history_window: int = 1,
           remat: bool = False,
           mesh=None,
           data_axis: str = "data",
@@ -224,6 +225,22 @@ def infer(inference_algorithm: str,
             exactly to the AESMC estimator for always-resampling and to
             the IWAE/IS estimator when resampling never triggers. Not in
             the reference (standard adaptive SMC; smc only).
+        history_window: W >= 1. With W == 1 (default) components see
+            length-1 `previous_latents`/`previous_observations` lists -
+            the Markov fast path covering every reference model. With
+            W > 1, the engine carries a W-deep buffer of ORIGINAL
+            latents and observations through the scan: components
+            receive length-W lists ([-1] = most recent), restoring the
+            reference's non-Markov capability
+            (/root/reference/aesmc/inference.py:20-46,102-104) at O(W)
+            instead of the reference's O(T^2) history regathers. The
+            reference's exact resampling semantics are preserved: each
+            step, the whole visible history is regathered with the
+            CURRENT ancestor indices only (latents_bar stays original;
+            /root/reference/aesmc/inference.py:102-104), and the
+            emission sees un-resampled originals plus the new latent.
+            Steps earlier than t=0 are padded with copies of the t=0
+            values (models should not read beyond the real history).
         remat: rematerialize the scan body on the backward pass
             (`jax.checkpoint`): training activation memory drops from
             O(T) to O(1) per step at the cost of recompute - for long
@@ -256,6 +273,9 @@ def infer(inference_algorithm: str,
         raise ValueError("return_original_latents shouldn't be True for is")
     if inference_algorithm == "is" and return_ancestral_indices:
         raise ValueError("return_ancestral_indices shouldn't be True for is")
+    if history_window < 1:
+        raise ValueError(
+            f"history_window must be >= 1. currently = {history_window}")
     if key is None:
         key = jax.random.PRNGKey(0)
     if resampling_method == "soft" and resampling_criterion != "always":
@@ -312,7 +332,128 @@ def infer(inference_algorithm: str,
     log_num_particles = _stdmath.log(num_particles)
 
     # ---- t = 1 .. T-1: one scan over time.
-    if num_timesteps > 1:
+    if num_timesteps > 1 and history_window > 1:
+        # Tier-2 (non-Markov) contract: carry W-deep buffers of ORIGINAL
+        # latents/observations; regather the visible history with the
+        # current ancestors each step (reference semantics,
+        # /root/reference/aesmc/inference.py:102-104).
+        w = history_window
+
+        def buf_slices(buf):
+            return [jax.tree_util.tree_map(lambda x, i=i: x[i], buf)
+                    for i in range(w)]
+
+        def buf_shift(buf, new):
+            return jax.tree_util.tree_map(
+                lambda b, n: jnp.concatenate([b[1:], n[None]], axis=0),
+                buf, new)
+
+        def gather_buf(buf, idx):
+            def leaf(x):
+                expanded = idx.reshape(
+                    (1,) + idx.shape + (1,) * (x.ndim - 3))
+                return jnp.take_along_axis(x, expanded, axis=2)
+            return jax.tree_util.tree_map(leaf, buf)
+
+        def step(carry, inputs):
+            latent_buf, obs_buf, prev_log_weight = carry
+            obs_t, t, keys_t = inputs
+            time = TimeIndex(t)
+
+            if is_smc and resampling_method == "soft":
+                ancestral_index, corrected = \
+                    resampling.soft_indices_and_weights(
+                        prev_log_weight, keys_t[0],
+                        alpha=soft_resampling_alpha)
+                contribution = (
+                    jax.nn.logsumexp(prev_log_weight, axis=1) -
+                    log_num_particles)
+                base = corrected
+            elif is_smc and not adaptive:
+                ancestral_index = resampling.sample_ancestral_index(
+                    prev_log_weight, keys_t[0],
+                    method=resampling_method,
+                    implementation=resolved_impl)
+                contribution = (
+                    jax.nn.logsumexp(prev_log_weight, axis=1) -
+                    log_num_particles)
+                base = jnp.zeros_like(prev_log_weight)
+            elif is_smc:
+                sampled = resampling.sample_ancestral_index(
+                    prev_log_weight, keys_t[0],
+                    method=resampling_method,
+                    implementation=resolved_impl)
+                ess = jnp.exp(
+                    2 * jax.nn.logsumexp(prev_log_weight, axis=1) -
+                    jax.nn.logsumexp(2 * prev_log_weight, axis=1))
+                do = ess < ess_threshold
+                identity = jnp.broadcast_to(
+                    jnp.arange(num_particles, dtype=sampled.dtype),
+                    sampled.shape)
+                ancestral_index = jnp.where(do[:, None], sampled, identity)
+                contribution = jnp.where(
+                    do,
+                    jax.nn.logsumexp(prev_log_weight, axis=1) -
+                    log_num_particles,
+                    jnp.zeros_like(ess))
+                base = jnp.where(do[:, None],
+                                 jnp.zeros_like(prev_log_weight),
+                                 prev_log_weight)
+            else:
+                ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
+                contribution = jnp.zeros((batch_size,),
+                                         dtype=log_weight_0.dtype)
+                base = jnp.zeros_like(prev_log_weight)
+
+            if is_smc:
+                previous_latents = buf_slices(
+                    gather_buf(latent_buf, ancestral_index))
+            else:
+                previous_latents = buf_slices(latent_buf)
+            prev_obs_list = buf_slices(obs_buf)
+
+            proposal_dist = proposal(previous_latents=previous_latents,
+                                     time=time, observations=obs_seq)
+            latent_t = _constrain(state.sample(proposal_dist, batch_size,
+                                               num_particles, keys_t[1]))
+            proposal_lp = state.log_prob(proposal_dist, latent_t)
+            transition_lp = state.log_prob(
+                transition(previous_latents=previous_latents, time=time,
+                           previous_observations=prev_obs_list),
+                latent_t)
+            # Emission history: UN-resampled originals + the new latent
+            # (the reference's latents_bar stays original).
+            emission_latents = buf_slices(latent_buf)[1:] + [latent_t]
+            emission_lp = state.log_prob(
+                emission(latents=emission_latents, time=time,
+                         previous_observations=prev_obs_list),
+                state.expand_observation(obs_t, num_particles))
+            increment = transition_lp + emission_lp - proposal_lp
+            log_weight_t = _constrain(
+                base + increment if is_smc else increment)
+
+            new_carry = (buf_shift(latent_buf, latent_t),
+                         buf_shift(obs_buf, obs_t),
+                         log_weight_t)
+            return new_carry, (latent_t, log_weight_t, ancestral_index,
+                               contribution)
+
+        latent_buf_0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (w,) + x.shape),
+            latent_0)
+        obs_buf_0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (w,) + x.shape),
+            obs_seq[0])
+        rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
+        times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
+        body = jax.checkpoint(step) if remat else step
+        (_, _, _), \
+            (rest_latents, rest_log_weights, anc, contributions) = \
+            jax.lax.scan(body, (latent_buf_0, obs_buf_0, log_weight_0),
+                         (rest_obs, times, step_keys[1:]))
+        last_latent = jax.tree_util.tree_map(lambda x: x[-1], rest_latents)
+        ancestral_indices = anc if is_smc else None
+    elif num_timesteps > 1:
         def step(carry, inputs):
             prev_latent, prev_log_weight = carry
             obs_t, obs_prev, t, keys_t = inputs

@@ -27,6 +27,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
              resampling_method: str = "systematic",
              resampling_implementation="auto",
              resampling_criterion="always",
+             history_window: int = 1,
              remat: bool = False,
              mesh=None, data_axis: str = "data",
              particle_axis: str = "particle"):
@@ -68,6 +69,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         resampling_method=resampling_method,
         resampling_implementation=resampling_implementation,
         resampling_criterion=resampling_criterion,
+        history_window=history_window,
         remat=remat,
         mesh=mesh, data_axis=data_axis, particle_axis=particle_axis,
         return_log_marginal_likelihood=True,

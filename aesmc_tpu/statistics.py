@@ -75,14 +75,14 @@ def ess(log_weight):
 
 
 def sample_from_prior(initial, transition, emission, num_timesteps: int,
-                      batch_size: int, key=None):
+                      batch_size: int, key=None, history_window: int = 1):
     """Ancestral sampling of (latents, observations) from the model prior.
 
     Parity with /root/reference/aesmc/statistics.py:108-162, as a scan.
-    The components see the same contract as in `infer` (length-1
-    `previous_latents` / `latents` lists; `time` is 0 or a TimeIndex;
-    `previous_observations` is a length-1 list holding the previous
-    observation).
+    The components see the same contract as in `infer` (length-W
+    `previous_latents` / `latents` / `previous_observations` lists,
+    W = `history_window`, default 1; `time` is 0 or a TimeIndex; steps
+    before t=0 are padded with copies of the t=0 values).
 
     Returns:
         (latents, observations): stacked `[T, batch, ...]` pytrees with
@@ -90,6 +90,10 @@ def sample_from_prior(initial, transition, emission, num_timesteps: int,
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if history_window < 1:
+        raise ValueError(
+            f"history_window must be >= 1. currently = {history_window}")
+    w = history_window
     step_keys = jax.random.split(key, (num_timesteps, 2))
 
     latent_0 = state.sample(initial(), batch_size, 1, step_keys[0, 0])
@@ -97,23 +101,41 @@ def sample_from_prior(initial, transition, emission, num_timesteps: int,
                          step_keys[0, 1])
 
     if num_timesteps > 1:
+        def buf_slices(buf):
+            return [jax.tree_util.tree_map(lambda x, i=i: x[i], buf)
+                    for i in range(w)]
+
+        def buf_shift(buf, new):
+            return jax.tree_util.tree_map(
+                lambda b, n: jnp.concatenate([b[1:], n[None]], axis=0),
+                buf, new)
+
         def step(carry, inputs):
-            prev_latent, prev_obs = carry
+            latent_buf, obs_buf = carry
             t, keys_t = inputs
             time = TimeIndex(t)
+            prev_latents = buf_slices(latent_buf)
+            prev_obs = buf_slices(obs_buf)
             latent_t = state.sample(
-                transition(previous_latents=[prev_latent], time=time,
-                           previous_observations=[prev_obs]),
+                transition(previous_latents=prev_latents, time=time,
+                           previous_observations=prev_obs),
                 batch_size, 1, keys_t[0])
             obs_t = state.sample(
-                emission(latents=[latent_t], time=time,
-                         previous_observations=[prev_obs]),
+                emission(latents=prev_latents[1:] + [latent_t], time=time,
+                         previous_observations=prev_obs),
                 batch_size, 1, keys_t[1])
-            return (latent_t, obs_t), (latent_t, obs_t)
+            return ((buf_shift(latent_buf, latent_t),
+                     buf_shift(obs_buf, obs_t)),
+                    (latent_t, obs_t))
+
+        def expand(x):
+            return jax.tree_util.tree_map(
+                lambda v: jnp.broadcast_to(v[None], (w,) + v.shape), x)
 
         times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
         _, (rest_latents, rest_obs) = jax.lax.scan(
-            step, (latent_0, obs_0), (times, step_keys[1:]))
+            step, (expand(latent_0), expand(obs_0)),
+            (times, step_keys[1:]))
         latents = _stack_time(latent_0, rest_latents)
         observations = _stack_time(obs_0, rest_obs)
     else:
