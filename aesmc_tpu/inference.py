@@ -188,6 +188,7 @@ def infer(inference_algorithm: str,
           soft_resampling_alpha: float = 0.5,
           history_window: int = 1,
           remat: bool = False,
+          scan_unroll: int = 1,
           mesh=None,
           data_axis: str = "data",
           particle_axis: str = "particle",
@@ -246,6 +247,11 @@ def infer(inference_algorithm: str,
             O(T) to O(1) per step at the cost of recompute - for long
             sequences (SURVEY.md S5.7a: backprop through the whole
             T-step filter is the reference's memory pathology).
+        scan_unroll: unroll factor for the time scan (lax.scan unroll).
+            At small batch x particle shapes the step is XLA
+            op-dispatch-bound; unrolling amortizes the while-loop
+            bookkeeping (input slicing, output updates) across
+            iterations. Compile time grows with the factor.
         mesh: optional `jax.sharding.Mesh`. When given, per-step latents
             and log-weights carry `with_sharding_constraint`s over
             `(data_axis, particle_axis)`, so GSPMD partitions the whole
@@ -450,7 +456,8 @@ def infer(inference_algorithm: str,
         (_, _, _), \
             (rest_latents, rest_log_weights, anc, contributions) = \
             jax.lax.scan(body, (latent_buf_0, obs_buf_0, log_weight_0),
-                         (rest_obs, times, step_keys[1:]))
+                         (rest_obs, times, step_keys[1:]),
+                         unroll=scan_unroll)
         last_latent = jax.tree_util.tree_map(lambda x: x[-1], rest_latents)
         ancestral_indices = anc if is_smc else None
     elif num_timesteps > 1:
@@ -554,7 +561,8 @@ def infer(inference_algorithm: str,
         (last_latent, _), \
             (rest_latents, rest_log_weights, anc, contributions) = \
             jax.lax.scan(body, (latent_0, log_weight_0),
-                         (rest_obs, prev_obs, times, step_keys[1:]))
+                         (rest_obs, prev_obs, times, step_keys[1:]),
+                         unroll=scan_unroll)
         ancestral_indices = anc if is_smc else None
     else:
         last_latent = latent_0

@@ -29,6 +29,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
              resampling_criterion="always",
              history_window: int = 1,
              remat: bool = False,
+             scan_unroll: int = 1,
              mesh=None, data_axis: str = "data",
              particle_axis: str = "particle"):
     """Scalar loss -mean(ELBO) for gradient descent.
@@ -71,6 +72,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         resampling_criterion=resampling_criterion,
         history_window=history_window,
         remat=remat,
+        scan_unroll=scan_unroll,
         mesh=mesh, data_axis=data_axis, particle_axis=particle_axis,
         return_log_marginal_likelihood=True,
         return_latents=False,

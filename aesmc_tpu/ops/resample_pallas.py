@@ -432,21 +432,12 @@ def resampling_positions(log_weight, key, method: str = "systematic"):
     with the same PRNG stream as the XLA implementations."""
     from .. import resampling
 
-    batch_size, k = jnp.shape(log_weight)
+    _, k = jnp.shape(log_weight)
     if k > LARGE_KERNEL_PARTICLES:
         raise ValueError(
             f"pallas resampler supports K <= {LARGE_KERNEL_PARTICLES}; "
             f"shard the particle axis (aesmc_tpu.parallel) for K = {k}")
-    dtype = jnp.result_type(float)
-    if method == "systematic":
-        u = jax.random.uniform(key, (batch_size, 1), dtype=dtype)
-        return (u + jnp.arange(k, dtype=dtype)) / k
-    elif method == "stratified":
-        u = jax.random.uniform(key, (batch_size, k), dtype=dtype)
-        return (u + jnp.arange(k, dtype=dtype)) / k
-    elif method == "multinomial":
-        return resampling._multinomial_positions(log_weight, key)
-    raise ValueError(f"unsupported method: {method}")
+    return resampling.resampling_positions(log_weight, key, method)
 
 
 def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",

@@ -131,6 +131,77 @@ _VARIANTS = {
 }
 
 
+def resampling_positions(log_weight, key, method: str = "systematic"):
+    """The sorted inverse-CDF query positions of each variant: systematic
+    grid (one uniform per row), stratified jitter, or sorted-uniform
+    order statistics for multinomial. Shared by the XLA, dense and Pallas
+    implementations, so the PRNG stream is identical across all three."""
+    batch_size, k = jnp.shape(log_weight)
+    dtype = jnp.result_type(float)
+    if method == "systematic":
+        u = jax.random.uniform(key, (batch_size, 1), dtype=dtype)
+        return (u + jnp.arange(k, dtype=dtype)) / k
+    elif method == "stratified":
+        u = jax.random.uniform(key, (batch_size, k), dtype=dtype)
+        return (u + jnp.arange(k, dtype=dtype)) / k
+    elif method == "multinomial":
+        return _multinomial_positions(log_weight, key)
+    raise ValueError(f"unsupported method: {method}")
+
+
+# Dense one-hot resampling path: at K below this, the particle gather is
+# a one-hot MXU matmul whose VJP is a matmul transpose. Rationale
+# (measured on v5e at the reference training config T=200 B=10 K=100):
+# the backward of take_along_axis is an XLA scatter-add, and 200 tiny
+# scatters dominated the AESMC training backward (14 ms of a 24 ms
+# step); the dense formulation removes every scatter from the program.
+# O(K^2) memory/flops bounds it to small K - exactly the regime where
+# op-dispatch, not arithmetic, is the cost.
+DENSE_GATHER_MAX_K = 1024
+
+
+def dense_indices_and_gather(log_weight, pos, value):
+    """Fused searchsorted + differentiable gather via one dense compare.
+
+    le[b, j, i] = (cum[b, i] <= pos[b, j]) gives BOTH outputs:
+    - ancestor indices: idx[b, j] = sum_i le[b, j, i] (searchsorted
+      side='right', == np.digitize, matching
+      /root/reference/aesmc/inference.py:263-264);
+    - the one-hot ancestor selector: sel = le_{i-1} - le_i (exactly one
+      1 per row), so gathered = sel @ value is an MXU matmul that passes
+      values through exactly (HIGHEST precision; one nonzero product per
+      output) and whose transpose (the training backward) is another
+      matmul instead of a scatter.
+
+    Args:
+        log_weight: `[B, K]` (already detached by callers).
+        pos: `[B, Kp]` sorted query positions in [0, 1).
+        value: pytree of `[B, K, ...]` float leaves.
+
+    Returns:
+        (idx `[B, Kp]` int32, gathered pytree `[B, Kp, ...]`).
+    """
+    cum = _normalized_cumsum(log_weight)
+    k = cum.shape[-1]
+    le = cum[:, None, :] <= pos[:, :, None]                  # [B, Kp, K]
+    idx = jnp.clip(jnp.sum(le.astype(jnp.int32), axis=-1),
+                   0, k - 1).astype(jnp.int32)
+    lef = le.astype(cum.dtype)
+    le_prev = jnp.concatenate(
+        [jnp.ones_like(lef[:, :, :1]), lef[:, :, :-1]], axis=-1)
+    sel = jax.lax.stop_gradient(le_prev - lef)               # one-hot rows
+
+    def gather(leaf):
+        leaf = jnp.asarray(leaf)
+        shape = leaf.shape
+        flat = leaf.reshape(shape[0], shape[1], -1)          # [B, K, C]
+        out = jnp.matmul(sel.astype(flat.dtype), flat,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape((shape[0], sel.shape[1]) + shape[2:])
+
+    return idx, jax.tree_util.tree_map(gather, value)
+
+
 def sample_ancestral_index(log_weight, key, method: str = "systematic",
                            implementation: str = "auto"):
     """Sample `[batch, particle]` ancestor indices (no gradient).
@@ -258,6 +329,14 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
         # e.g. parallel.make_distributed_fused_resampler: indices and the
         # cross-shard particle exchange in one shard_map.
         return implementation(log_weight, key, value)
+
+    if implementation == "xla" and \
+            log_weight.shape[1] <= DENSE_GATHER_MAX_K:
+        leaves = jax.tree_util.tree_leaves(value)
+        if all(jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+               for leaf in leaves):
+            pos = resampling_positions(log_weight, key, method)
+            return dense_indices_and_gather(log_weight, pos, value)
 
     if implementation == "pallas":
         columns, rebuild = _split_columns(value)

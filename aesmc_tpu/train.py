@@ -57,6 +57,7 @@ def make_train_step(num_particles: int, algorithm: str,
                     resampling_implementation: str = "auto",
                     resampling_criterion="always",
                     remat: bool = False,
+                    scan_unroll: int = 1,
                     with_metrics: bool = False,
                     jit: bool = True) -> Callable:
     """Builds `(components, opt_state, observations, key) ->
@@ -78,14 +79,16 @@ def make_train_step(num_particles: int, algorithm: str,
                     transition, emission, proposal, key=key,
                     resampling_method=resampling_method,
                     resampling_implementation=resampling_implementation,
-                    resampling_criterion=resampling_criterion, remat=remat)
+                    resampling_criterion=resampling_criterion, remat=remat,
+                    scan_unroll=scan_unroll)
                 return loss, metrics
             loss = losses.get_loss(
                 observations, num_particles, algorithm, initial, transition,
                 emission, proposal, key=key,
                 resampling_method=resampling_method,
                 resampling_implementation=resampling_implementation,
-                resampling_criterion=resampling_criterion, remat=remat)
+                resampling_criterion=resampling_criterion, remat=remat,
+                scan_unroll=scan_unroll)
             return loss, {}
 
         (loss, metrics), grads = jax.value_and_grad(

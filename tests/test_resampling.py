@@ -115,3 +115,75 @@ class TestUnderJit:
         logw = jnp.asarray(np.random.randn(4, 8))
         idx = f(logw, KEY)
         assert idx.shape == (4, 8)
+
+
+class TestDenseOneHotPath:
+    """Small-K dense resampling: one compare matrix yields both the
+    ancestor indices and a one-hot MXU gather whose VJP is a matmul
+    transpose (no scatter - the XLA scatter-add backward dominated the
+    small-K training step on TPU). Must be EXACTLY equal to the XLA
+    searchsorted + take_along_axis path (same PRNG stream)."""
+
+    @pytest.mark.parametrize("method",
+                             ["systematic", "stratified", "multinomial"])
+    def test_exact_vs_xla_path(self, method):
+        logw = jax.random.normal(KEY, (5, 64)) * 2.0
+        value = jax.random.normal(jax.random.PRNGKey(9), (5, 64, 3))
+        k2 = jax.random.PRNGKey(11)
+        idx_ref = resampling.sample_ancestral_index(
+            logw, k2, method=method, implementation="xla")
+        pos = resampling.resampling_positions(logw, k2, method)
+        idx_d, gathered = resampling.dense_indices_and_gather(
+            jax.lax.stop_gradient(logw), pos, value)
+        np.testing.assert_array_equal(np.asarray(idx_ref),
+                                      np.asarray(idx_d))
+        ref_g = jnp.take_along_axis(value, idx_ref[:, :, None], axis=1)
+        np.testing.assert_array_equal(np.asarray(ref_g),
+                                      np.asarray(gathered))
+
+    def test_fused_entry_routes_dense_and_matches(self):
+        logw = jax.random.normal(KEY, (4, 50))
+        value = {"x": jax.random.normal(jax.random.PRNGKey(2), (4, 50)),
+                 "y": jax.random.normal(jax.random.PRNGKey(3), (4, 50, 2))}
+        idx1, g1 = resampling.sample_ancestral_index_and_resample(
+            logw, KEY, value, implementation="xla")
+        idx2 = resampling.sample_ancestral_index(logw, KEY,
+                                                 implementation="xla")
+        np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+        for k, leaf in value.items():
+            expanded = idx2.reshape(idx2.shape + (1,) * (leaf.ndim - 2))
+            ref = jnp.take_along_axis(leaf, expanded, axis=1)
+            np.testing.assert_array_equal(np.asarray(g1[k]),
+                                          np.asarray(ref))
+
+    def test_gradients_match_take_along_axis(self):
+        logw = jax.random.normal(KEY, (3, 32))
+        value = jax.random.normal(jax.random.PRNGKey(5), (3, 32))
+        pos = resampling.resampling_positions(logw, KEY, "systematic")
+
+        def f_dense(v):
+            _, g = resampling.dense_indices_and_gather(
+                jax.lax.stop_gradient(logw), pos, v)
+            return jnp.sum(jnp.sin(g))
+
+        def f_taa(v):
+            idx = resampling.sample_ancestral_index(
+                logw, KEY, implementation="xla")
+            return jnp.sum(jnp.sin(jnp.take_along_axis(v, idx, axis=1)))
+
+        gd = jax.grad(f_dense)(value)
+        gt = jax.grad(f_taa)(value)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gt),
+                                   atol=1e-6)
+
+    def test_no_scatter_in_backward_hlo(self):
+        logw = jax.random.normal(KEY, (3, 32))
+        value = jax.random.normal(jax.random.PRNGKey(5), (3, 32))
+
+        def f(v):
+            _, g = resampling.sample_ancestral_index_and_resample(
+                logw, KEY, v, implementation="xla")
+            return jnp.sum(g ** 2)
+
+        hlo = jax.jit(jax.grad(f)).lower(value).as_text()
+        assert "scatter" not in hlo
