@@ -208,3 +208,30 @@ def test_hbm_resident_mode_interpret():
     np.testing.assert_array_equal(np.asarray(idx), want)
     np.testing.assert_array_equal(np.asarray(gathered[0]),
                                   np.take_along_axis(v, want, 1))
+
+
+class TestFusedSearchGatherV3:
+    """Experimental v3 merge (pre-shifted CDF + SMEM tile maxima):
+    measured at parity with v1 on hardware (BENCH_NOTES round 2); kept
+    as the base for round-3 profiling. Exactness contract identical."""
+
+    @pytest.mark.parametrize("emit_idx", [True, False])
+    def test_exact_vs_xla(self, emit_idx):
+        from aesmc_tpu import resampling as R
+        logw = jax.random.normal(jax.random.PRNGKey(0), (3, 1000)) * 3.0
+        v = jax.random.normal(jax.random.PRNGKey(1), (3, 1000))
+        pos = R.resampling_positions(logw, jax.random.PRNGKey(2),
+                                     "systematic")
+        cdf = R._normalized_cumsum(logw)
+        idx_ref = jnp.clip(
+            jax.vmap(lambda c, p: jnp.searchsorted(c, p, side="right"))(
+                cdf, pos), 0, 999)
+        idx, (g,) = resample_pallas.fused_search_gather_v3(
+            cdf, pos, (v,), emit_idx=emit_idx, interpret=True)
+        if emit_idx:
+            np.testing.assert_array_equal(np.asarray(idx),
+                                          np.asarray(idx_ref))
+        else:
+            assert idx is None
+        ref_g = jnp.take_along_axis(v, idx_ref, axis=1)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(ref_g))
