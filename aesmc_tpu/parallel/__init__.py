@@ -13,6 +13,7 @@ from .dist_resampling import (
     make_distributed_fused_resampler,
     distributed_systematic_indices,
     distributed_systematic_resample,
+    distributed_systematic_resample_streaming,
 )
 from .sharded import make_sharded_train_step, shard_batch
 
@@ -22,5 +23,6 @@ __all__ = [
     "make_distributed_fused_resampler",
     "distributed_systematic_indices",
     "distributed_systematic_resample",
+    "distributed_systematic_resample_streaming",
     "make_sharded_train_step", "shard_batch",
 ]

@@ -224,3 +224,106 @@ class TestFusedResamplerInEngine:
         _, _, loss_f = step_f(comps, opt.init(comps), obs, KEY)
         _, _, loss_p = step_p(comps, opt.init(comps), obs, KEY)
         np.testing.assert_allclose(float(loss_f), float(loss_p), rtol=1e-5)
+
+
+class TestStreamingRingExchange:
+    """Ring-streaming distributed resampling: bit-identical to the
+    all_gather path with O(K/n) per-device live memory."""
+
+    @pytest.mark.parametrize("dp,pp", [(2, 4), (1, 8), (4, 2), (8, 1)])
+    def test_bit_exact_vs_allgather_and_single_device(self, dp, pp):
+        mesh = parallel.make_mesh(data=dp, particle=pp)
+        rng = np.random.RandomState(7)
+        lw = jnp.asarray(rng.randn(8, 32).astype(np.float32))
+        latent = {"x": jnp.asarray(rng.randn(8, 32).astype(np.float32)),
+                  "y": jnp.asarray(rng.randn(8, 32, 2).astype(np.float32))}
+
+        ring = parallel.make_distributed_fused_resampler(
+            mesh, exchange="ring")
+        ag = parallel.make_distributed_fused_resampler(
+            mesh, exchange="allgather")
+        idx_r, val_r = ring(lw, KEY, latent)
+        idx_a, val_a = ag(lw, KEY, latent)
+        np.testing.assert_array_equal(np.asarray(idx_r), np.asarray(idx_a))
+        for k in latent:
+            np.testing.assert_array_equal(np.asarray(val_r[k]),
+                                          np.asarray(val_a[k]))
+        # and vs the single-device resampler
+        want_idx = np.asarray(resampling.systematic_indices(lw, KEY))
+        np.testing.assert_array_equal(np.asarray(idx_r), want_idx)
+        want_val = state.resample(latent["y"], jnp.asarray(want_idx))
+        np.testing.assert_array_equal(np.asarray(val_r["y"]),
+                                      np.asarray(want_val))
+
+    def test_degenerate_weights_cross_shard(self):
+        # All mass on one shard: every output shard must fetch across
+        # the ring from that single source shard.
+        mesh = parallel.make_mesh(data=1, particle=8)
+        lw = jnp.full((2, 64), -1e9, jnp.float32)
+        lw = lw.at[:, 3].set(0.0)       # all mass on particle 3 (shard 0)
+        latent = jnp.asarray(
+            np.random.RandomState(0).randn(2, 64).astype(np.float32))
+        ring = parallel.make_distributed_fused_resampler(
+            mesh, exchange="ring")
+        idx, val = ring(lw, KEY, latent)
+        np.testing.assert_array_equal(np.asarray(idx),
+                                      np.full((2, 64), 3))
+        np.testing.assert_array_equal(
+            np.asarray(val), np.broadcast_to(
+                np.asarray(latent[:, 3:4]), (2, 64)))
+
+    def test_ring_memory_is_sublinear(self):
+        # Structural proof of the O(K/n) layout: the ring program must
+        # contain NO all-gather producing a K-sized per-shard array
+        # (only the n-scalar sums one) - its collectives are
+        # collective_permutes of K/n-sized slices. (The virtual CPU
+        # backend's memory_analysis does not model per-device sharding,
+        # so the assertion is on the lowered HLO itself.)
+        mesh = parallel.make_mesh(data=1, particle=8)
+        b, k = 2, 8 * 16384
+        lw = jnp.zeros((b, k), jnp.float32)
+        latent = jnp.zeros((b, k), jnp.float32)
+
+        def lowered_text(exchange):
+            resampler = parallel.make_distributed_fused_resampler(
+                mesh, exchange=exchange)
+            fn = jax.jit(lambda lw_, v_: resampler(lw_, KEY, v_))
+            return fn.lower(lw, latent).as_text()
+
+        def big_all_gathers(txt):
+            return sum(1 for line in txt.splitlines()
+                       if "all_gather" in line and str(k) in line)
+
+        ring_txt = lowered_text("ring")
+        ag_txt = lowered_text("allgather")
+        assert big_all_gathers(ring_txt) == 0
+        assert big_all_gathers(ag_txt) > 0
+        assert ring_txt.count("collective_permute") >= 7
+
+    def test_engine_integration(self):
+        mesh = parallel.make_mesh(data=2, particle=4)
+        from aesmc_tpu import inference
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.2)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, 6, 4, KEY)
+        obs = parallel.shard_batch(obs, mesh)
+        outs = {}
+        for exchange in ("ring", "allgather"):
+            resampler = parallel.make_distributed_fused_resampler(
+                mesh, exchange=exchange)
+            outs[exchange] = inference.infer(
+                "smc", obs, initial, transition, emission, proposal, 32,
+                key=KEY, resampling_implementation=resampler, mesh=mesh,
+                return_log_marginal_likelihood=True, return_latents=False)
+        np.testing.assert_array_equal(
+            np.asarray(outs["ring"]["log_marginal_likelihood"]),
+            np.asarray(outs["allgather"]["log_marginal_likelihood"]))
+
+    def test_bad_exchange_raises(self):
+        mesh = parallel.make_mesh(data=1, particle=8)
+        with pytest.raises(ValueError, match="exchange"):
+            parallel.make_distributed_fused_resampler(mesh,
+                                                      exchange="bogus")
