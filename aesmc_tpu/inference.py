@@ -166,6 +166,20 @@ def _first_leaf(tree):
     return jax.tree_util.tree_leaves(tree)[0]
 
 
+def _checkify_nan_guard(has_nan):
+    """Under-jit parity with /root/reference/aesmc/inference.py:244-245.
+
+    The engine aggregates a single has-NaN flag over every
+    pre-resampling log-weight INSIDE the scan and checks it here, AFTER
+    the scan: eager calls raise immediately, and `checkify.checkify`
+    never has to rewrite the scan body itself (placing checks inside the
+    scan trips this environment's JAX 0.9.0 'closed_call' MLIR-lowering
+    bug when combined with value_and_grad)."""
+    from jax.experimental import checkify
+    checkify.check(jnp.logical_not(has_nan),
+                   "log_weight contains nan element(s)")
+
+
 def _stack_time(head, rest):
     """Prepends the hoisted t=0 pytree to scan-stacked `[T-1, ...]` outputs."""
     if rest is None:
@@ -187,6 +201,7 @@ def infer(inference_algorithm: str,
           resampling_criterion="always",
           soft_resampling_alpha: float = 0.5,
           history_window: int = 1,
+          nan_check: bool = False,
           remat: bool = False,
           scan_unroll: int = 1,
           mesh=None,
@@ -242,6 +257,16 @@ def infer(inference_algorithm: str,
             emission sees un-resampled originals plus the new latent.
             Steps earlier than t=0 are padded with copies of the t=0
             values (models should not read beyond the real history).
+        nan_check: insert `checkify.check`s on the log-weights at every
+            resampling step - the under-jit version of the reference's
+            FloatingPointError guard
+            (/root/reference/aesmc/inference.py:244-245), which this
+            engine otherwise only reproduces eagerly (under jit, NaNs
+            silently propagate). Eager calls raise immediately; jitted
+            callers must functionalize with
+            `jax.experimental.checkify.checkify` (or use
+            `train.make_train_step(nan_check=True)` /
+            `losses.checked_loss`, which do it for you).
         remat: rematerialize the scan body on the backward pass
             (`jax.checkpoint`): training activation memory drops from
             O(T) to O(1) per step at the cost of recompute - for long
@@ -365,6 +390,8 @@ def infer(inference_algorithm: str,
             latent_buf, obs_buf, prev_log_weight = carry
             obs_t, t, keys_t = inputs
             time = TimeIndex(t)
+            step_nan = (jnp.any(jnp.isnan(prev_log_weight))
+                        if (nan_check and is_smc) else None)
 
             if is_smc and resampling_method == "soft":
                 ancestral_index, corrected = \
@@ -441,8 +468,10 @@ def infer(inference_algorithm: str,
             new_carry = (buf_shift(latent_buf, latent_t),
                          buf_shift(obs_buf, obs_t),
                          log_weight_t)
-            return new_carry, (latent_t, log_weight_t, ancestral_index,
-                               contribution)
+            outs = (latent_t, log_weight_t, ancestral_index, contribution)
+            if step_nan is not None:
+                outs = outs + (step_nan,)
+            return new_carry, outs
 
         latent_buf_0 = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (w,) + x.shape),
@@ -453,17 +482,20 @@ def infer(inference_algorithm: str,
         rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
         times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
         body = jax.checkpoint(step) if remat else step
-        (_, _, _), \
-            (rest_latents, rest_log_weights, anc, contributions) = \
+        (_, _, _), scan_outs = \
             jax.lax.scan(body, (latent_buf_0, obs_buf_0, log_weight_0),
                          (rest_obs, times, step_keys[1:]),
                          unroll=scan_unroll)
+        rest_latents, rest_log_weights, anc, contributions = scan_outs[:4]
+        nan_flags = scan_outs[4] if len(scan_outs) > 4 else None
         last_latent = jax.tree_util.tree_map(lambda x: x[-1], rest_latents)
         ancestral_indices = anc if is_smc else None
     elif num_timesteps > 1:
         def step(carry, inputs):
             prev_latent, prev_log_weight = carry
             obs_t, obs_prev, t, keys_t = inputs
+            step_nan = (jnp.any(jnp.isnan(prev_log_weight))
+                        if (nan_check and is_smc) else None)
             # Reference contract: previous_observations = observations[:t],
             # whose [-1] entry is y_{t-1}. A length-1 list holding y_{t-1}
             # preserves the [-1] indexing every reference model uses
@@ -550,29 +582,38 @@ def infer(inference_algorithm: str,
             log_weight_t = _constrain(
                 base + increment if is_smc else increment)
 
-            return ((latent_t, log_weight_t),
-                    (latent_t, log_weight_t, ancestral_index,
-                     contribution))
+            outs = (latent_t, log_weight_t, ancestral_index, contribution)
+            if step_nan is not None:
+                outs = outs + (step_nan,)
+            return (latent_t, log_weight_t), outs
 
         rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
         prev_obs = jax.tree_util.tree_map(lambda x: x[:-1], stacked_obs)
         times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
         body = jax.checkpoint(step) if remat else step
-        (last_latent, _), \
-            (rest_latents, rest_log_weights, anc, contributions) = \
+        (last_latent, _), scan_outs = \
             jax.lax.scan(body, (latent_0, log_weight_0),
                          (rest_obs, prev_obs, times, step_keys[1:]),
                          unroll=scan_unroll)
+        rest_latents, rest_log_weights, anc, contributions = scan_outs[:4]
+        nan_flags = scan_outs[4] if len(scan_outs) > 4 else None
         ancestral_indices = anc if is_smc else None
     else:
         last_latent = latent_0
         rest_latents = None
         rest_log_weights = None
+        nan_flags = None
         contributions = jnp.zeros((0, batch_size),
                                   dtype=log_weight_0.dtype)
         ancestral_indices = (
             jnp.zeros((0, batch_size, num_particles), dtype=jnp.int32)
             if is_smc else None)
+
+    if nan_check and is_smc and nan_flags is not None:
+        # One check AFTER the scan (see _checkify_nan_guard): covers the
+        # pre-resampling weights of every step, like the reference's
+        # per-resample guard.
+        _checkify_nan_guard(jnp.any(nan_flags))
 
     original_latents = _stack_time(latent_0, rest_latents)
     # [T, B, K]: for smc these are the carried (post-resampling-reset)

@@ -28,6 +28,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
              resampling_implementation="auto",
              resampling_criterion="always",
              history_window: int = 1,
+             nan_check: bool = False,
              remat: bool = False,
              scan_unroll: int = 1,
              mesh=None, data_axis: str = "data",
@@ -71,6 +72,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         resampling_implementation=resampling_implementation,
         resampling_criterion=resampling_criterion,
         history_window=history_window,
+        nan_check=nan_check,
         remat=remat,
         scan_unroll=scan_unroll,
         mesh=mesh, data_axis=data_axis, particle_axis=particle_axis,
@@ -82,6 +84,25 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         return_ancestral_indices=False)
     elbo = inference_result["log_marginal_likelihood"]
     return -jnp.mean(elbo)
+
+
+def checked_loss(observations, num_particles: int, algorithm: str,
+                 initial, transition, emission, proposal, key=None,
+                 **kwargs):
+    """`get_loss` with the NaN guard functionalized: returns
+    `(error, loss)` where `error` is a `checkify` error value - jittable
+    end to end. Call `error.throw()` (or check `error.get()`) on the
+    host; inside jit a NaN in any resampling step's log-weights is
+    recorded instead of silently propagating (the under-jit analogue of
+    /root/reference/aesmc/inference.py:244-245)."""
+    from jax.experimental import checkify
+
+    def f():
+        return get_loss(observations, num_particles, algorithm, initial,
+                        transition, emission, proposal, key=key,
+                        nan_check=True, **kwargs)
+
+    return checkify.checkify(f, errors=checkify.user_checks)()
 
 
 def get_loss_and_metrics(observations, num_particles: int, algorithm: str,

@@ -58,6 +58,7 @@ def make_train_step(num_particles: int, algorithm: str,
                     resampling_criterion="always",
                     remat: bool = False,
                     scan_unroll: int = 1,
+                    nan_check: bool = False,
                     with_metrics: bool = False,
                     jit: bool = True) -> Callable:
     """Builds `(components, opt_state, observations, key) ->
@@ -68,6 +69,13 @@ def make_train_step(num_particles: int, algorithm: str,
     None entries are allowed (e.g. no transition for T=1 models). With
     `with_metrics=True` the step also returns {'elbo', 'ess',
     'grad_norm'} (all device scalars; fetch them outside the hot loop).
+
+    With `nan_check=True` the whole step is functionalized through
+    `checkify`: a NaN in any resampling step's log-weights raises
+    FloatingPointError on the host (parity with
+    /root/reference/aesmc/inference.py:244-245, which this engine
+    otherwise reproduces only eagerly) instead of silently corrupting
+    the update. Costs one host sync per step.
     """
 
     def step(components, opt_state, observations, key):
@@ -80,7 +88,7 @@ def make_train_step(num_particles: int, algorithm: str,
                     resampling_method=resampling_method,
                     resampling_implementation=resampling_implementation,
                     resampling_criterion=resampling_criterion, remat=remat,
-                    scan_unroll=scan_unroll)
+                    scan_unroll=scan_unroll, nan_check=nan_check)
                 return loss, metrics
             loss = losses.get_loss(
                 observations, num_particles, algorithm, initial, transition,
@@ -88,7 +96,7 @@ def make_train_step(num_particles: int, algorithm: str,
                 resampling_method=resampling_method,
                 resampling_implementation=resampling_implementation,
                 resampling_criterion=resampling_criterion, remat=remat,
-                scan_unroll=scan_unroll)
+                scan_unroll=scan_unroll, nan_check=nan_check)
             return loss, {}
 
         (loss, metrics), grads = jax.value_and_grad(
@@ -99,6 +107,20 @@ def make_train_step(num_particles: int, algorithm: str,
             metrics["grad_norm"] = optax.global_norm(grads)
             return components, opt_state, loss, metrics
         return components, opt_state, loss
+
+    if nan_check:
+        from jax.experimental import checkify
+        checked = checkify.checkify(step, errors=checkify.user_checks)
+        compiled = jax.jit(checked) if jit else checked
+
+        def checked_step(components, opt_state, observations, key):
+            err, out = compiled(components, opt_state, observations, key)
+            msg = err.get()
+            if msg is not None:
+                raise FloatingPointError(msg)
+            return out
+
+        return checked_step
 
     # No buffer donation: callers may legitimately hold references to the
     # initial component pytrees (e.g. as the generative ground truth).
