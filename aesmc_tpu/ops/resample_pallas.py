@@ -643,16 +643,31 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
     log_weight = jnp.asarray(log_weight)
     pos = resampling_positions(log_weight, key, method)
     k = log_weight.shape[1]
+    from .. import resampling as _r
+
+    # All regimes search the XLA-computed CDF (~16 us at the headline
+    # shape): the kernel's indices are then BIT-IDENTICAL to the XLA
+    # reference implementation on the same weights. (Round 1 computed
+    # the standard path's CDF in-kernel via Hillis-Steele; the different
+    # f32 summation association shifted ~1e-4 of bin edges vs XLA,
+    # caught by bench.py's on-hardware verification.)
+    cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
     if k > MAX_KERNEL_PARTICLES:
-        from .. import resampling as _r
-        cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
         chunks = max(1, -(-k // LARGE_K_CHUNK))
         return searchsorted_sorted_cdf_pallas(
             cdf, pos, chunks=chunks,
             hbm_resident=k > VMEM_RESIDENT_PARTICLES,
             interpret=interpret)
-    return searchsorted_cdf_pallas(jax.lax.stop_gradient(log_weight), pos,
-                                   interpret=interpret)
+    return searchsorted_sorted_cdf_pallas(cdf, pos, interpret=interpret)
+
+
+def _rg_run(log_weight, pos, columns):
+    from .. import resampling as _r
+
+    # XLA CDF shared with the reference implementation (see
+    # sample_ancestral_index_pallas) -> bit-identical indices.
+    cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
+    return searchsorted_sorted_cdf_pallas(cdf, pos, columns)
 
 
 @jax.custom_vjp
@@ -664,12 +679,12 @@ def resample_and_gather(log_weight, pos, columns):
     differentiable in its source, ancestor indices and weights are
     detached, /root/reference/aesmc/inference.py:102-104,254).
     """
-    idx, gathered = searchsorted_cdf_pallas(log_weight, pos, columns)
+    idx, gathered = _rg_run(log_weight, pos, columns)
     return idx, tuple(gathered)
 
 
 def _rg_fwd(log_weight, pos, columns):
-    idx, gathered = searchsorted_cdf_pallas(log_weight, pos, columns)
+    idx, gathered = _rg_run(log_weight, pos, columns)
     return (idx, tuple(gathered)), (idx, len(columns))
 
 

@@ -50,18 +50,22 @@ def _global_cdf_and_positions(log_weight, key, axis_name: str,
     d = jax.lax.axis_index(axis_name)
     k_global = k_local * n
 
-    # Distributed normalization.
+    # Distributed normalization. The local cumsum is cummax'd and the
+    # shard sum taken from its LAST ELEMENT (not a separate jnp.sum),
+    # so the concatenated global CDF is monotone within and across
+    # shards (see resampling._normalized_cumsum on why).
     local_max = jnp.max(log_weight, axis=1, keepdims=True)
     global_max = jax.lax.pmax(local_max, axis_name)
     w = jnp.exp(log_weight - global_max)                     # [B, K_local]
-    local_sum = jnp.sum(w, axis=1)                           # [B]
+    local_cumsum = jax.lax.cummax(jnp.cumsum(w, axis=1), axis=1)
+    local_sum = local_cumsum[:, -1]                          # [B]
     all_sums = jax.lax.all_gather(local_sum, axis_name)      # [n, B]
     total = jnp.sum(all_sums, axis=0)                        # [B]
     prefix = jnp.cumsum(all_sums, axis=0) - all_sums         # exclusive
     my_prefix = prefix[d]                                    # [B]
 
     # Global CDF: local slice, then replicate.
-    local_cum = (my_prefix[:, None] + jnp.cumsum(w, axis=1)) / total[:, None]
+    local_cum = (my_prefix[:, None] + local_cumsum) / total[:, None]
     cum_slices = jax.lax.all_gather(local_cum, axis_name, axis=1)
     global_cum = cum_slices.reshape(batch_size, k_global)
     # Reference renormalization hack: force the last edge to exactly 1
@@ -202,18 +206,22 @@ def distributed_systematic_resample(log_weight, key, value, axis_name: str,
 
 def _normalization_terms(log_weight, axis_name):
     """Distributed weight normalization shared by both exchanges:
-    returns (w, all_sums [n, B], total [B], prefix [n, B], renorm [B])
-    where `renorm` equals the all_gather path's `global_cum[:, -1]`
-    (the reference's renormalize-by-last hack) bit-for-bit."""
+    returns (w, local_cumsum [B, K_local], all_sums [n, B], total [B],
+    prefix [n, B], renorm [B]) where `renorm` equals the all_gather
+    path's `global_cum[:, -1]` (the reference's renormalize-by-last
+    hack) bit-for-bit."""
     local_max = jnp.max(log_weight, axis=1, keepdims=True)
     global_max = jax.lax.pmax(local_max, axis_name)
     w = jnp.exp(log_weight - global_max)                     # [B, K_local]
-    local_sum = jnp.sum(w, axis=1)                           # [B]
+    # Monotone local cumsum; shard sum = its last element (see
+    # _global_cdf_and_positions on why).
+    local_cumsum = jax.lax.cummax(jnp.cumsum(w, axis=1), axis=1)
+    local_sum = local_cumsum[:, -1]                          # [B]
     all_sums = jax.lax.all_gather(local_sum, axis_name)      # [n, B]
     total = jnp.sum(all_sums, axis=0)                        # [B]
     prefix = jnp.cumsum(all_sums, axis=0) - all_sums         # exclusive
     renorm = (prefix[-1] + all_sums[-1]) / total             # [B]
-    return w, all_sums, total, prefix, renorm
+    return w, local_cumsum, all_sums, total, prefix, renorm
 
 
 def distributed_systematic_resample_streaming(
@@ -248,10 +256,10 @@ def distributed_systematic_resample_streaming(
     d = jax.lax.axis_index(axis_name)
     k_global = k_local * n
 
-    w, all_sums, total, prefix, renorm = _normalization_terms(
-        log_weight, axis_name)
+    w, local_cumsum, all_sums, total, prefix, renorm = \
+        _normalization_terms(log_weight, axis_name)
     my_prefix = jnp.take(prefix, d, axis=0)                  # [B]
-    local_cum = ((my_prefix[:, None] + jnp.cumsum(w, axis=1)) /
+    local_cum = ((my_prefix[:, None] + local_cumsum) /
                  total[:, None]) / renorm[:, None]           # [B, K_local]
     # Upper edge of every shard's slice (same floats on every device).
     edges = ((prefix + all_sums) / total) / renorm           # [n, B]

@@ -53,9 +53,18 @@ def _check_nan_eager(log_weight):
 
 def _normalized_cumsum(log_weight):
     """[B, K] log-weights -> [B, K] cumulative normalized weights with
-    cum[:, -1] == 1 exactly (the reference's renormalization hack)."""
+    cum[:, -1] == 1 exactly (the reference's renormalization hack).
+
+    The cumsum is forced MONOTONE with a running max: XLA's parallel
+    prefix sum can emit eps-scale inversions at large K (measured ~1e-5
+    of entries at K=512k on v5e), and a non-monotone CDF makes the
+    inverse-CDF crossing ambiguous - the fused kernel's one-hot selector
+    fired twice at inversion points while searchsorted counted once.
+    cummax pins every implementation (XLA searchsorted, dense one-hot,
+    Pallas merge) to the same well-defined bin edges.
+    """
     w = amath.exponentiate_and_normalize(log_weight, dim=-1)
-    cum = jnp.cumsum(w, axis=-1)
+    cum = jax.lax.cummax(jnp.cumsum(w, axis=-1), axis=1)
     return cum / cum[:, -1:]
 
 
