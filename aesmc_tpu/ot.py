@@ -14,10 +14,16 @@ in both weights and particle positions. BASELINE.json config 5's
 "differentiable soft/OT resampling" (together with
 `resampling.soft_indices_and_weights`).
 
-Sinkhorn runs in the log domain on the squared-Euclidean cost; the
-[B, K, K] kernel matrices make this O(K^2) memory - meant for moderate K
-(the discrete pipeline covers large K). All matrix steps are batched
-matmuls/logsumexps - MXU/VPU-friendly.
+Sinkhorn runs in the log domain on the squared-Euclidean cost. Two
+implementations behind one entry point:
+
+- dense: materializes the [B, K, K] cost - fastest for small K;
+- blocked (`block_size=...` or K > OT_DENSE_MAX_K): streams the cost in
+  [B, K, block] tiles with ONLINE logsumexp accumulators inside a
+  rematerialized scan, so live memory is O(K * block) in both the
+  forward and the backward pass - OT resampling at K = 65k fits in a
+  couple of GB where the dense form would need ~17 GB per kernel
+  matrix. Cost tiles are (re)computed as batched matmuls - MXU work.
 """
 
 from __future__ import annotations
@@ -81,9 +87,121 @@ def sinkhorn_potentials(log_weight, cost, epsilon: float,
     return jax.lax.fori_loop(0, num_iterations, body, (f0, g0))
 
 
+OT_DENSE_MAX_K = 4096
+
+
+def _blocked_cost(x, xb, sq, sqb, inv_scale):
+    """Squared-Euclidean cost tile [B, K, bs] for sources block xb."""
+    c = (sq[:, :, None] + sqb[:, None, :] -
+         2.0 * jnp.einsum("bkd,bld->bkl", x, xb))
+    return jnp.maximum(c, 0.0) * inv_scale
+
+
+def _blocked_smoothed_lse(phi, x, sq, inv_scale, epsilon, block_size):
+    """lse over sources s of (phi_s - C(q, s)) / epsilon for every query
+    q, streaming source blocks with an online (max, sum) accumulator.
+    phi, sq: [B, K]; x: [B, K, D]. Returns [B, K]. The block body is
+    rematerialized so the backward pass recomputes cost tiles instead of
+    storing them (keeps grad memory at O(K * block) too)."""
+    batch, k, _ = x.shape
+    nb = k // block_size
+
+    def body(carry, inputs):
+        m, s = carry
+        xb, sqb, phib = inputs                              # block views
+        c = _blocked_cost(x, xb, sq, sqb, inv_scale)        # [B, K, bs]
+        v = (phib[:, None, :] - c) / epsilon
+        mb = jnp.max(v, axis=2)                             # [B, K]
+        new_m = jnp.maximum(m, mb)
+        s = s * jnp.exp(m - new_m) + jnp.sum(
+            jnp.exp(v - new_m[:, :, None]), axis=2)
+        return (new_m, s), None
+
+    blocks = (
+        jnp.moveaxis(x.reshape(batch, nb, block_size, -1), 1, 0),
+        jnp.moveaxis(sq.reshape(batch, nb, block_size), 1, 0),
+        jnp.moveaxis(phi.reshape(batch, nb, block_size), 1, 0))
+    init = (jnp.full((batch, k), -jnp.inf), jnp.zeros((batch, k)))
+    (m, s), _ = jax.lax.scan(jax.checkpoint(body), init, blocks)
+    return m + jnp.log(s)
+
+
+def _blocked_transport(f, g, x, sq, inv_scale, epsilon, block_size):
+    """x_tilde_j = K * sum_i exp((f_i + g_j - C_ij)/eps) x_i, streaming
+    source (i) blocks. Converged plan entries are <= ~1/K, so the exp
+    accumulates stably in f32 without a shift."""
+    batch, k, d = x.shape
+    nb = k // block_size
+
+    def body(acc, inputs):
+        xb, sqb, fb = inputs
+        c = _blocked_cost(x, xb, sq, sqb, inv_scale)        # [B, Kq, bs]
+        p = jnp.exp((fb[:, None, :] + g[:, :, None] - c) / epsilon)
+        return acc + jnp.einsum("bql,bld->bqd", p, xb), None
+
+    blocks = (
+        jnp.moveaxis(x.reshape(batch, nb, block_size, -1), 1, 0),
+        jnp.moveaxis(sq.reshape(batch, nb, block_size), 1, 0),
+        jnp.moveaxis(f.reshape(batch, nb, block_size), 1, 0))
+    acc, _ = jax.lax.scan(jax.checkpoint(body),
+                          jnp.zeros((batch, k, d)), blocks)
+    return k * acc
+
+
+def ot_resample_blocked(log_weight, value, epsilon: float = 0.5,
+                        num_iterations: int = 50,
+                        scale_cost: bool = True,
+                        block_size: int = 256) -> Tuple:
+    """`ot_resample` without the [B, K, K] matrices: O(K * block_size)
+    live memory in forward AND backward. Matches the dense
+    implementation to float tolerance (same updates, streaming
+    logsumexp). K must be a multiple of block_size (pad upstream)."""
+    x, rebuild = _flatten_particles(value)                   # [B, K, D]
+    log_weight = jnp.asarray(log_weight)
+    batch, k, _ = x.shape
+    if k % block_size != 0:
+        raise ValueError(
+            f"K = {k} must be a multiple of block_size = {block_size}")
+    sq = jnp.sum(x * x, axis=-1)                             # [B, K]
+
+    if scale_cost:
+        # mean_ij C_ij = 2 mean(sq) - 2 ||mean x||^2 in O(K D).
+        xbar = jnp.mean(x, axis=1)                           # [B, D]
+        mean_cost = (2.0 * jnp.mean(sq, axis=1) -
+                     2.0 * jnp.sum(xbar * xbar, axis=1))
+        inv_scale = 1.0 / (mean_cost[:, None, None] + 1e-12)
+    else:
+        inv_scale = jnp.ones((batch, 1, 1))
+
+    log_a = jax.nn.log_softmax(log_weight, axis=-1)
+    log_b = jnp.full_like(log_a, -jnp.log(k))
+
+    # Checkpointed scan over iterations: the backward pass stores only
+    # the (f, g) potentials per iteration and recomputes everything
+    # inside (without this, the nested scan-in-loop linearization
+    # retained full [B, K, block] tiles - 17 GB at K=65k).
+    @jax.checkpoint
+    def sinkhorn_body(fg, _):
+        f, g = fg
+        f = epsilon * log_a - epsilon * _blocked_smoothed_lse(
+            g, x, sq, inv_scale, epsilon, block_size)
+        g = epsilon * log_b - epsilon * _blocked_smoothed_lse(
+            f, x, sq, inv_scale, epsilon, block_size)
+        return (f, g), None
+
+    f0 = jnp.zeros_like(log_a)
+    g0 = jnp.zeros_like(log_a)
+    (f, g), _ = jax.lax.scan(sinkhorn_body, (f0, g0), None,
+                             length=num_iterations)
+    transported = _blocked_transport(f, g, x, sq, inv_scale, epsilon,
+                                     block_size)
+    return rebuild(transported), jnp.zeros_like(log_weight)
+
+
 def ot_resample(log_weight, value, epsilon: float = 0.5,
                 num_iterations: int = 50,
-                scale_cost: bool = True) -> Tuple:
+                scale_cost: bool = True,
+                block_size=None) -> Tuple:
     """Transports weighted particles onto a uniform ensemble.
 
     Args:
@@ -94,11 +212,23 @@ def ot_resample(log_weight, value, epsilon: float = 0.5,
         num_iterations: Sinkhorn iterations.
         scale_cost: normalize the cost matrix by its per-batch mean so
             epsilon is scale-free.
+        block_size: None picks automatically (dense for
+            K <= OT_DENSE_MAX_K, blocked above); an int forces the
+            blocked streaming implementation with that tile width.
 
     Returns:
         (transported value pytree `[B, K, ...]`,
          new log-weights `[B, K]` - uniform zeros).
     """
+    if block_size is None:
+        k_total = jnp.shape(jax.tree_util.tree_leaves(value)[0])[1]
+        if k_total > OT_DENSE_MAX_K:
+            block_size = 512
+    if block_size is not None:
+        return ot_resample_blocked(
+            log_weight, value, epsilon=epsilon,
+            num_iterations=num_iterations, scale_cost=scale_cost,
+            block_size=block_size)
     x, rebuild = _flatten_particles(value)                   # [B, K, D]
     sq = jnp.sum(x * x, axis=-1)                             # [B, K]
     cost = (sq[:, :, None] + sq[:, None, :] -
