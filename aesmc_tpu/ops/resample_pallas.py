@@ -53,9 +53,11 @@ MAX_KERNEL_PARTICLES = 128 * 1024
 # (2 x (4+4) bytes/particle double-buffered) up to 512k...
 VMEM_RESIDENT_PARTICLES = 512 * 1024
 # ...and beyond that live in HBM, DMA'd once per program into
-# single-buffered scratch ((1 + num_values) * 4 bytes/particle): 1M
-# fused. Past that, shard the particle axis (aesmc_tpu.parallel).
-LARGE_KERNEL_PARTICLES = 1024 * 1024
+# single-buffered scratch ((1 + num_values) * 4 bytes/particle) with the
+# scoped-VMEM limit raised to 100 MB (v5e has 128 MB): 8M particles
+# fused single-chip (scratch 64 MB at 8M with one value column). Past
+# that, shard the particle axis (aesmc_tpu.parallel).
+LARGE_KERNEL_PARTICLES = 8 * 1024 * 1024
 LARGE_K_CHUNK = 128 * 1024
 
 
@@ -420,7 +422,8 @@ def fused_search_gather_v3(cdf, pos, values=(), *, emit_idx: bool = True,
     kp_pad = _padded_k(kp)
     if kc_pad != kc:
         cdf = jnp.pad(cdf, ((0, 0), (0, kc_pad - kc)), constant_values=2.0)
-        values = [jnp.pad(v, ((0, 0), (0, kc_pad - kc))) for v in values]
+        values = [jnp.pad(v, ((0, 0), (0, kc_pad - kc)), mode="edge")
+                  for v in values]
     if kp_pad != kp:
         pos = jnp.pad(pos, ((0, 0), (0, kp_pad - kp)), constant_values=2.0)
     rc = kc_pad // LANE
@@ -494,9 +497,11 @@ def searchsorted_cdf_pallas(log_weight, pos, values=(), *,
         log_weight = jnp.pad(log_weight, ((0, 0), (0, k_pad - k)),
                              constant_values=-jnp.inf)
         # Padded positions sit above every CDF value; their outputs are
-        # sliced off below.
+        # sliced off below. Value pads replicate the edge (see
+        # searchsorted_sorted_cdf_pallas).
         pos = jnp.pad(pos, ((0, 0), (0, k_pad - k)), constant_values=2.0)
-        values = [jnp.pad(v, ((0, 0), (0, k_pad - k))) for v in values]
+        values = [jnp.pad(v, ((0, 0), (0, k_pad - k)), mode="edge")
+                  for v in values]
     r = k_pad // LANE
 
     tiles = lambda x: x.reshape(batch_size * r, LANE)
@@ -548,9 +553,14 @@ def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
     row_align = max(MERGE_ROWS, 8)
     kp_pad = _round_up(kp, chunks * row_align * LANE)
     if kc_pad != kc:
-        # Padding above every position (pos < 1): never counted.
+        # CDF pads sit above every position; VALUE pads replicate the
+        # last real particle: at huge K the f32 systematic grid can
+        # quantize its last position to >= cdf[-1], in which case the
+        # one-hot crossing lands on the first pad - edge padding makes
+        # that return v[K-1], exactly matching take_along(clip(idx)).
         cdf = jnp.pad(cdf, ((0, 0), (0, kc_pad - kc)), constant_values=2.0)
-        values = [jnp.pad(v, ((0, 0), (0, kc_pad - kc))) for v in values]
+        values = [jnp.pad(v, ((0, 0), (0, kc_pad - kc)), mode="edge")
+                  for v in values]
     if kp_pad != kp:
         pos = jnp.pad(pos, ((0, 0), (0, kp_pad - kp)), constant_values=2.0)
     rc = kc_pad // LANE
@@ -599,6 +609,15 @@ def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
         # cdf_input reads the CDF straight from the input ref; tiny dummy
         # scratch keeps the kernel signature uniform.
         scratch_shapes = [pltpu.VMEM((MERGE_ROWS, LANE), jnp.float32)]
+    if hbm_resident:
+        # The default scoped-VMEM limit is 16 MB; the HBM-resident
+        # scratch ((1 + num_values) * 4 bytes/particle) exceeds it past
+        # ~1.9M particles. v5e has 128 MB of VMEM - raise the scope so a
+        # single chip covers 4M+ particles (scratch 32 MB at 4M, 1 col).
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    else:
+        compiler_params = None
     outputs = pl.pallas_call(
         _make_resample_kernel(num_values, cdf_input=True,
                               with_start=with_start,
@@ -611,6 +630,7 @@ def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
             [jax.ShapeDtypeStruct((batch_size * rp, LANE), jnp.float32)
              for _ in range(num_values)]),
         scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
     idx = jnp.clip(outputs[0].reshape(batch_size, kp_pad)[:, :kp],

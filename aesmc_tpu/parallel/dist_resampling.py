@@ -69,8 +69,12 @@ def _global_cdf_and_positions(log_weight, key, axis_name: str,
     cum_slices = jax.lax.all_gather(local_cum, axis_name, axis=1)
     global_cum = cum_slices.reshape(batch_size, k_global)
     # Reference renormalization hack: force the last edge to exactly 1
-    # (/root/reference/aesmc/inference.py:259-261).
+    # (/root/reference/aesmc/inference.py:259-261). The explicit pin
+    # matters: XLA lowers x/y as x*reciprocal(y), so x/x can be 1 +- eps
+    # and positions (clamped < 1) need a strictly-greater last edge.
     global_cum = global_cum / global_cum[:, -1:]
+    global_cum = jnp.concatenate(
+        [global_cum[:, :-1], jnp.ones_like(global_cum[:, -1:])], axis=1)
 
     if data_axis_name is not None:
         n_data = jax.lax.axis_size(data_axis_name)
@@ -83,6 +87,8 @@ def _global_cdf_and_positions(log_weight, key, axis_name: str,
         u = jax.random.uniform(key, (batch_size, 1), dtype=global_cum.dtype)
     slots = d * k_local + jnp.arange(k_local, dtype=global_cum.dtype)
     pos = (u + slots) / k_global                             # [B, K_local]
+    pos = jnp.minimum(pos, jnp.nextafter(
+        jnp.asarray(1.0, pos.dtype), jnp.asarray(0.0, pos.dtype)))
     return global_cum, pos, k_global
 
 
@@ -261,8 +267,16 @@ def distributed_systematic_resample_streaming(
     my_prefix = jnp.take(prefix, d, axis=0)                  # [B]
     local_cum = ((my_prefix[:, None] + local_cumsum) /
                  total[:, None]) / renorm[:, None]           # [B, K_local]
+    # Pin the GLOBAL last edge (= the last shard's last entry) to
+    # exactly 1.0, mirroring the all_gather path's renormalization (XLA
+    # reciprocal-multiply division makes x/x only ~1 +- eps).
+    pinned = jnp.concatenate(
+        [local_cum[:, :-1], jnp.ones_like(local_cum[:, -1:])], axis=1)
+    local_cum = jnp.where(d == n - 1, pinned, local_cum)
     # Upper edge of every shard's slice (same floats on every device).
     edges = ((prefix + all_sums) / total) / renorm           # [n, B]
+    edges = jnp.concatenate(
+        [edges[:-1], jnp.ones_like(edges[-1:])], axis=0)
 
     if data_axis_name is not None:
         n_data = jax.lax.axis_size(data_axis_name)
@@ -275,6 +289,8 @@ def distributed_systematic_resample_streaming(
         u = jax.random.uniform(key, (batch_size, 1), dtype=local_cum.dtype)
     slots = d * k_local + jnp.arange(k_local, dtype=local_cum.dtype)
     pos = (u + slots) / k_global                             # [B, K_local]
+    pos = jnp.minimum(pos, jnp.nextafter(
+        jnp.asarray(1.0, pos.dtype), jnp.asarray(0.0, pos.dtype)))
 
     leaves, treedef = jax.tree_util.tree_flatten(value)
     leaves = [jnp.asarray(leaf) for leaf in leaves]

@@ -65,7 +65,15 @@ def _normalized_cumsum(log_weight):
     """
     w = amath.exponentiate_and_normalize(log_weight, dim=-1)
     cum = jax.lax.cummax(jnp.cumsum(w, axis=-1), axis=1)
-    return cum / cum[:, -1:]
+    cum = cum / cum[:, -1:]
+    # XLA lowers x/y as x * reciprocal(y) on TPU, so even x/x is not
+    # exactly 1; positions are clamped strictly below 1.0, so the last
+    # edge is pinned AT 1.0 to guarantee every position has a
+    # strictly-greater CDF entry. Concatenation, not .at[].set: the
+    # latter lowers to a scatter, which the dense path's backward must
+    # stay free of.
+    return jnp.concatenate(
+        [cum[:, :-1], jnp.ones_like(cum[:, -1:])], axis=1)
 
 
 def _searchsorted_right(cum, pos):
@@ -86,22 +94,20 @@ def _searchsorted_right(cum, pos):
 def systematic_indices(log_weight, key):
     """Systematic resampling: one uniform per batch row on a regular grid."""
     log_weight = jnp.asarray(log_weight)
-    batch_size, num_particles = log_weight.shape
+    num_particles = log_weight.shape[-1]
     cum = _normalized_cumsum(log_weight)
-    u = jax.random.uniform(key, (batch_size, 1), dtype=cum.dtype)
-    pos = (u + jnp.arange(num_particles, dtype=cum.dtype)) / num_particles
-    idx = _searchsorted_right(cum, pos)
+    pos = resampling_positions(log_weight, key, "systematic")
+    idx = _searchsorted_right(cum, pos.astype(cum.dtype))
     return jnp.clip(idx, 0, num_particles - 1).astype(jnp.int32)
 
 
 def stratified_indices(log_weight, key):
     """Stratified resampling: an independent uniform per grid stratum."""
     log_weight = jnp.asarray(log_weight)
-    batch_size, num_particles = log_weight.shape
+    num_particles = log_weight.shape[-1]
     cum = _normalized_cumsum(log_weight)
-    u = jax.random.uniform(key, (batch_size, num_particles), dtype=cum.dtype)
-    pos = (u + jnp.arange(num_particles, dtype=cum.dtype)) / num_particles
-    idx = _searchsorted_right(cum, pos)
+    pos = resampling_positions(log_weight, key, "stratified")
+    idx = _searchsorted_right(cum, pos.astype(cum.dtype))
     return jnp.clip(idx, 0, num_particles - 1).astype(jnp.int32)
 
 
@@ -117,9 +123,9 @@ def multinomial_indices(log_weight, key):
     offspring counts are identical to unsorted multinomial resampling.
     """
     log_weight = jnp.asarray(log_weight)
-    pos = _multinomial_positions(log_weight, key)
+    pos = resampling_positions(log_weight, key, "multinomial")
     cum = _normalized_cumsum(log_weight)
-    idx = _searchsorted_right(cum, pos)
+    idx = _searchsorted_right(cum, pos.astype(cum.dtype))
     return jnp.clip(idx, 0, log_weight.shape[-1] - 1).astype(jnp.int32)
 
 
@@ -144,18 +150,30 @@ def resampling_positions(log_weight, key, method: str = "systematic"):
     """The sorted inverse-CDF query positions of each variant: systematic
     grid (one uniform per row), stratified jitter, or sorted-uniform
     order statistics for multinomial. Shared by the XLA, dense and Pallas
-    implementations, so the PRNG stream is identical across all three."""
+    implementations, so the PRNG stream is identical across all three.
+
+    Positions are clamped strictly below 1.0: at K ~ 2^22+ the f32 grid
+    (u + j)/K rounds its top positions to exactly 1.0, where the
+    normalized CDF also ends - leaving no strictly-greater CDF entry for
+    the inverse-CDF crossing (the last output slot gathered nothing).
+    With pos < 1 == cdf[-1], a crossing always exists and every
+    implementation (count-based and crossing-based) agrees.
+    """
     batch_size, k = jnp.shape(log_weight)
     dtype = jnp.result_type(float)
+    below_one = jnp.nextafter(jnp.asarray(1.0, dtype),
+                              jnp.asarray(0.0, dtype))
     if method == "systematic":
         u = jax.random.uniform(key, (batch_size, 1), dtype=dtype)
-        return (u + jnp.arange(k, dtype=dtype)) / k
+        pos = (u + jnp.arange(k, dtype=dtype)) / k
     elif method == "stratified":
         u = jax.random.uniform(key, (batch_size, k), dtype=dtype)
-        return (u + jnp.arange(k, dtype=dtype)) / k
+        pos = (u + jnp.arange(k, dtype=dtype)) / k
     elif method == "multinomial":
-        return _multinomial_positions(log_weight, key)
-    raise ValueError(f"unsupported method: {method}")
+        pos = _multinomial_positions(log_weight, key)
+    else:
+        raise ValueError(f"unsupported method: {method}")
+    return jnp.minimum(pos, below_one)
 
 
 # Dense one-hot resampling path: at K below this, the particle gather is

@@ -99,8 +99,8 @@ def verify_kernels_on_hardware():
 
     results = {}
     key = jax.random.PRNGKey(42)
-    for k in (10_000, 131_072, 524_288, 1_000_000):
-        b = 4 if k <= 131_072 else 2
+    for k in (10_000, 131_072, 524_288, 1_000_000, 4_194_304):
+        b = 4 if k <= 131_072 else (2 if k <= 1_000_000 else 1)
         logw = jax.random.normal(key, (b, k)) * 3.0
         value = jax.random.normal(jax.random.PRNGKey(1), (b, k))
         pos = R.resampling_positions(logw, jax.random.PRNGKey(2),

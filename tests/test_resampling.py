@@ -187,3 +187,37 @@ class TestDenseOneHotPath:
 
         hlo = jax.jit(jax.grad(f)).lower(value).as_text()
         assert "scatter" not in hlo
+
+
+class TestCdfInvariants:
+    """The bin-edge contract every implementation relies on: monotone
+    CDF ending at exactly 1.0, positions strictly below 1.0 (at huge K
+    the f32 systematic grid otherwise rounds its top positions to 1.0,
+    leaving the last output slot with no strictly-greater CDF entry)."""
+
+    def test_cdf_monotone_and_pinned(self):
+        logw = jax.random.normal(KEY, (3, 4096)) * 5.0
+        cum = np.asarray(resampling._normalized_cumsum(logw))
+        assert (np.diff(cum, axis=1) >= 0).all()
+        np.testing.assert_array_equal(cum[:, -1], np.ones(3))
+
+    @pytest.mark.parametrize("method",
+                             ["systematic", "stratified", "multinomial"])
+    def test_positions_strictly_below_one(self, method):
+        logw = jnp.zeros((2, 1 << 14))
+        pos = np.asarray(resampling.resampling_positions(logw, KEY, method))
+        assert (pos < 1.0).all()
+        assert (np.diff(pos, axis=1) >= 0).all()
+
+    def test_boundary_position_selects_last_particle(self):
+        # A position at nextafter(1.0) must gather the last real
+        # particle through the dense one-hot path (crossing == count).
+        logw = jnp.zeros((1, 64))
+        pos = jnp.full((1, 64), np.nextafter(np.float32(1.0),
+                                             np.float32(0.0)))
+        value = jnp.arange(64.0)[None, :]
+        idx, g = resampling.dense_indices_and_gather(logw, pos, value)
+        np.testing.assert_array_equal(np.asarray(idx),
+                                      np.full((1, 64), 63))
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.full((1, 64), 63.0))
