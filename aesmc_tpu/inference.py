@@ -361,6 +361,10 @@ def infer(inference_algorithm: str,
     if adaptive:
         ess_threshold = float(resampling_criterion) * num_particles
     log_num_particles = _stdmath.log(num_particles)
+    # Ancestor indices feed lineage tracing and the ancestral-indices
+    # output only; when neither is requested the fused systematic kernel
+    # can skip computing them (ancestral_index then stacks as [T-1, 0]).
+    need_ancestors = bool(return_latents or return_ancestral_indices)
 
     # ---- t = 1 .. T-1: one scan over time.
     if num_timesteps > 1 and history_window > 1:
@@ -521,12 +525,17 @@ def infer(inference_algorithm: str,
                 base = corrected
             elif is_smc and not adaptive:
                 # Fused path: indices + particle gather in one kernel
-                # when the pallas implementation is active.
+                # when the pallas implementation is active. When the
+                # caller requests neither lineage nor ancestor outputs,
+                # the v5 systematic kernel skips the index computation.
                 ancestral_index, previous_latent = \
                     resampling.sample_ancestral_index_and_resample(
                         prev_log_weight, keys_t[0], prev_latent,
                         method=resampling_method,
-                        implementation=resolved_impl)
+                        implementation=resolved_impl,
+                        need_indices=need_ancestors)
+                if ancestral_index is None:
+                    ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
                 contribution = (
                     jax.nn.logsumexp(prev_log_weight, axis=1) -
                     log_num_particles)

@@ -334,14 +334,23 @@ MAX_FUSED_COLUMNS = 8
 
 def sample_ancestral_index_and_resample(log_weight, key, value,
                                         method: str = "systematic",
-                                        implementation="auto"):
+                                        implementation="auto",
+                                        need_indices: bool = True):
     """Samples ancestor indices AND redistributes `value` in one shot.
 
     On the pallas path with few feature columns, the particle gather is
     FUSED into the resampling kernel's merge pass (one kernel instead of
     resample + gather); otherwise indices and gather run separately.
+    Systematic resampling routes to the v5 flipped-merge kernel, which
+    generates the position grid in-kernel (no [B, K] positions array, no
+    cross-lane relayouts on the hot path).
 
-    Returns (indices `[B, K]` int32 - detached, resampled value pytree).
+    With `need_indices=False` (caller wants neither lineage tracing nor
+    ancestor outputs) the v5 kernel skips the index computation and
+    returns indices=None.
+
+    Returns (indices `[B, K]` int32 - detached - or None, resampled
+    value pytree).
     """
     if method not in _VARIANTS:
         raise ValueError(
@@ -369,9 +378,20 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
         columns, rebuild = _split_columns(value)
         if columns is not None and len(columns) <= MAX_FUSED_COLUMNS:
             from .ops import resample_pallas
+            k = log_weight.shape[1]
+            if (method == "systematic"
+                    and k <= resample_pallas.MAX_KERNEL_PARTICLES):
+                # v5 fast path: same PRNG stream (one uniform per row),
+                # positions rebuilt inside the kernel.
+                batch_size = log_weight.shape[0]
+                u = jax.random.uniform(key, (batch_size, 1),
+                                       dtype=jnp.result_type(float))
+                idx, gathered = \
+                    resample_pallas.resample_and_gather_systematic(
+                        need_indices, log_weight, u, tuple(columns))
+                return idx, rebuild(list(gathered))
             pos = resample_pallas.resampling_positions(
                 log_weight, key, method)
-            k = log_weight.shape[1]
             if k > resample_pallas.MAX_KERNEL_PARTICLES:
                 # Large-K path: CDF in XLA, chunked-position kernel with
                 # the CDF + one value column VMEM-resident per call.
