@@ -512,13 +512,14 @@ def infer(inference_algorithm: str,
                 # ancestors drawn from the tempered mixture, next-step
                 # weights start from the importance correction
                 # log(w_bar[a]/q[a]) - the estimator stays unbiased and
-                # gradients flow into the pre-resampling weights.
-                ancestral_index, corrected = \
-                    resampling.soft_indices_and_weights(
-                        prev_log_weight, keys_t[0],
-                        alpha=soft_resampling_alpha)
-                previous_latent = resampling.resample_particles(
-                    prev_latent, ancestral_index)
+                # gradients flow into the pre-resampling weights. On the
+                # pallas path the latent gather AND both weight-column
+                # gathers ride one fused kernel.
+                ancestral_index, corrected, previous_latent = \
+                    resampling.soft_resample_and_gather(
+                        prev_log_weight, keys_t[0], prev_latent,
+                        alpha=soft_resampling_alpha,
+                        implementation=resolved_impl)
                 contribution = (
                     jax.nn.logsumexp(prev_log_weight, axis=1) -
                     log_num_particles)

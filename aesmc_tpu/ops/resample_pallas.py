@@ -336,8 +336,27 @@ import numpy as _np
 _BELOW_ONE = float(_np.nextafter(_np.float32(1.0), _np.float32(0.0)))
 
 
-def _make_sys_kernel(num_values: int, kp_real: int, emit_idx: bool):
-    """v5: the SYSTEMATIC fast-path kernel (round-2 headline redesign).
+def _make_window_kernel(num_values: int, emit_idx: bool,
+                        kp_real=None, range_sum: bool = False):
+    """v5: the precomputed-window kernel family (round-2 redesign).
+
+    Three modes sharing one structure:
+    - kp_real set (SYSTEMATIC): positions rebuilt in-kernel from a
+      sublane iota, pos = (u + j)/kp_real - zero cross-lane relayouts
+      on the hot path.
+    - kp_real None, range_sum False (SORTED): positions loaded from a
+      ref; each tile costs W extra [1,128]->[128,1] relayouts (still 3x
+      fewer than the v1 merge, and no serial cursors).
+    - range_sum True (BACKWARD): pos ref holds each source's UPPER edge
+      and an extra ref the LOWER edge; vout_j = sum of values over
+      slots in [lower_j, upper_j) (the transposed-merge gather VJP);
+      idx (if emitted) is the strict count #{slot < upper_j}.
+    """
+    return _window_kernel_impl(num_values, emit_idx, kp_real, range_sum)
+
+
+def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum):
+    """See `_make_window_kernel`. Original v5 rationale:
 
     perf_probe_r3.py isolated the v1 merge's cost to its cross-lane ops:
     the [1,128]->[128,1] column relayouts (~70-80 ns each on v5e, 3W
@@ -361,17 +380,30 @@ def _make_sys_kernel(num_values: int, kp_real: int, emit_idx: bool):
       transpose per output tile.
 
     Refs: SMEM starts [B,Tp] i32 (W-aligned window rows), pmax [B,Tp]
-    f32 (epsilon-padded position tile maxima), rowmax [B,Rc] f32, u
-    [B,1] f32; VMEM cdf/prev/values [Rc,128]; outputs ([idx] + gathered
-    values) [Rp,128].
+    f32 (position tile maxima; epsilon-padded in systematic mode),
+    rowmax [B,Rc] f32, then mode inputs (u [B,1] SMEM for systematic;
+    pos [Rp,128] for sorted; upper [Rp,128] + lower [Rp,128] for
+    range_sum); VMEM cdf (or slots)/prev/values [Rc,128]; outputs
+    ([idx] + gathered values) [Rp,128].
     """
     w_tile = MERGE_ROWS
+    systematic = kp_real is not None
 
     def kernel(*refs):
-        starts_ref, pmax_ref, rowmax_ref, u_ref = refs[:4]
-        cdf_ref, prev_ref = refs[4], refs[5]
-        v_refs = refs[6:6 + num_values]
-        outs = refs[6 + num_values:]
+        starts_ref, pmax_ref, rowmax_ref = refs[:3]
+        refs = refs[3:]
+        if systematic:
+            u_ref, refs = refs[0], refs[1:]
+        else:
+            pos_ref, refs = refs[0], refs[1:]
+        if range_sum:
+            lower_ref, refs = refs[0], refs[1:]
+            cdf_ref, refs = refs[0], refs[1:]
+        else:
+            cdf_ref, prev_ref = refs[0], refs[1]
+            refs = refs[2:]
+        v_refs = refs[0:num_values]
+        outs = refs[num_values:]
         if emit_idx:
             idx_ref, vout_refs = outs[0], outs[1:]
         else:
@@ -382,44 +414,67 @@ def _make_sys_kernel(num_values: int, kp_real: int, emit_idx: bool):
         n_tiles_p = vout_refs[0].shape[0] // w_tile if num_values \
             else idx_ref.shape[0] // w_tile
         tile_k = w_tile * LANE
-        kf = jnp.float32(kp_real)
-        u = u_ref[b, 0]
-        iota = jax.lax.broadcasted_iota(
-            jnp.int32, (LANE, 1), 0).astype(jnp.float32)
+        if systematic:
+            kf = jnp.float32(kp_real)
+            u = u_ref[b, 0]
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (LANE, 1), 0).astype(jnp.float32)
 
         def tile_body(t, _):
             start = starts_ref[b, t]
             pmax = pmax_ref[b, t]
+            if not systematic:
+                pos_tile = pos_ref[pl.ds(t * w_tile, w_tile), :]
+            if range_sum:
+                lower_tile = lower_ref[pl.ds(t * w_tile, w_tile), :]
 
             def window(wstart):
                 cum_tile = cdf_ref[pl.ds(wstart, w_tile), :]
-                prev_tile = prev_ref[pl.ds(wstart, w_tile), :]
                 v_tiles = [vr[pl.ds(wstart, w_tile), :] for vr in v_refs]
                 cum_rows = [jnp.broadcast_to(cum_tile[c:c + 1, :],
                                              (LANE, LANE))
                             for c in range(w_tile)]
-                prev_rows = [jnp.broadcast_to(prev_tile[c:c + 1, :],
-                                              (LANE, LANE))
-                             for c in range(w_tile)]
+                if not range_sum:
+                    prev_tile = prev_ref[pl.ds(wstart, w_tile), :]
+                    prev_rows = [jnp.broadcast_to(prev_tile[c:c + 1, :],
+                                                  (LANE, LANE))
+                                 for c in range(w_tile)]
                 v_rows = [[jnp.broadcast_to(vt[c:c + 1, :], (LANE, LANE))
                            for c in range(w_tile)] for vt in v_tiles]
                 cnt_cols = []
                 val_cols = [[] for _ in range(num_values)]
                 for a in range(w_tile):
-                    base_j = (t * tile_k + a * LANE).astype(jnp.float32)
-                    # Same arithmetic as resampling.resampling_positions
-                    # (add u first, divide, clamp strictly below 1).
-                    pos_col = jnp.minimum((u + (base_j + iota)) / kf,
-                                          _BELOW_ONE)         # [128, 1]
+                    if systematic:
+                        base_j = (t * tile_k +
+                                  a * LANE).astype(jnp.float32)
+                        # Same arithmetic as resampling_positions (add
+                        # u first, divide, clamp strictly below 1).
+                        pos_col = jnp.minimum(
+                            (u + (base_j + iota)) / kf,
+                            _BELOW_ONE)                       # [128, 1]
+                    else:
+                        pos_col = pos_tile[a:a + 1, :].reshape(LANE, 1)
+                    if range_sum:
+                        lower_col = \
+                            lower_tile[a:a + 1, :].reshape(LANE, 1)
                     le_acc = jnp.zeros((LANE, LANE), jnp.int32)
                     vs = [jnp.zeros((LANE, LANE), jnp.float32)
                           for _ in range(num_values)]
                     for c in range(w_tile):
-                        le = cum_rows[c] <= pos_col           # [128, 128]
-                        if emit_idx:
-                            le_acc = le_acc + le.astype(jnp.int32)
-                        sel = jnp.logical_and(prev_rows[c] <= pos_col,
-                                              jnp.logical_not(le))
+                        if range_sum:
+                            # Segmented sum: slot in [lower, upper).
+                            lt = cum_rows[c] < pos_col        # [128, 128]
+                            if emit_idx:
+                                le_acc = le_acc + lt.astype(jnp.int32)
+                            sel = jnp.logical_and(
+                                cum_rows[c] >= lower_col, lt)
+                        else:
+                            le = cum_rows[c] <= pos_col       # [128, 128]
+                            if emit_idx:
+                                le_acc = le_acc + le.astype(jnp.int32)
+                            sel = jnp.logical_and(
+                                prev_rows[c] <= pos_col,
+                                jnp.logical_not(le))
                         for q in range(num_values):
                             vs[q] = vs[q] + jnp.where(
                                 sel, v_rows[q][c],
@@ -468,18 +523,12 @@ def _make_sys_kernel(num_values: int, kp_real: int, emit_idx: bool):
     return kernel
 
 
-def systematic_search_gather_pallas(cdf, u, kp: int, values=(), *,
-                                    emit_idx: bool = True,
-                                    interpret: bool = False):
-    """v5 systematic fast path: fused inverse-CDF search + gather with
-    IN-KERNEL positions pos[b, j] = (u[b] + j) / kp (the systematic grid
-    of `resampling.resampling_positions`, resampling.py:166-168).
-
-    cdf: [B, K] already-normalized sorted CDF; u: [B, 1] uniforms;
-    values: sequence of [B, K] float columns. Returns (idx | None,
-    [gathered...]).
-    """
+def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
+                 pos=None, lower=None):
+    """Shared prep + pallas_call for the v5 window-kernel modes."""
     interpret = interpret or FORCE_INTERPRET
+    range_sum = lower is not None
+    systematic = u is not None
     batch_size, kc = cdf.shape
     values = list(values)
     num_values = len(values)
@@ -487,32 +536,50 @@ def systematic_search_gather_pallas(cdf, u, kp: int, values=(), *,
     # can equal cdf[-1] (= 1.0) exactly, and its crossing then lands on
     # the first pad (whose edge-padded value is v[K-1], matching
     # take_along(clip(idx))). Without pads that slot would gather 0.
+    # Range mode zero-pads (pad slots contribute to no segment).
     kc_pad = _padded_k(kc + 1)
     kp_pad = _padded_k(kp)
-    cdf = jnp.pad(cdf, ((0, 0), (0, kc_pad - kc)), constant_values=2.0)
-    values = [jnp.pad(v, ((0, 0), (0, kc_pad - kc)), mode="edge")
+    cdf = jnp.pad(cdf.astype(jnp.float32), ((0, 0), (0, kc_pad - kc)),
+                  constant_values=2.0)
+    values = [jnp.pad(jnp.asarray(v).astype(jnp.float32),
+                      ((0, 0), (0, kc_pad - kc)),
+                      **({"constant_values": 0.0} if range_sum
+                         else {"mode": "edge"}))
               for v in values]
-    prev = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf[:, :-1]],
-                           axis=1)
     rc = kc_pad // LANE
     rp = kp_pad // LANE
     tile_k = MERGE_ROWS * LANE
     n_tiles_p = rp // MERGE_ROWS
-
-    cdf = cdf.astype(jnp.float32)
-    u = jnp.asarray(u, jnp.float32).reshape(batch_size, 1)
     rowmax = cdf.reshape(batch_size, rc, LANE)[:, :, -1]       # [B, Rc]
-    tgrid = jnp.arange(n_tiles_p, dtype=jnp.float32)
-    # Tile position extrema, epsilon-padded toward safety: starts use a
-    # LOWERED first position (a too-early window start only wastes
-    # compares), coverage uses a RAISED tile max (a too-strict coverage
-    # check only extends the window) - immune to <=2-ulp divergence
-    # between this XLA division and the kernel's.
-    eps = jnp.float32(3e-7)
-    first_pos = (u + tgrid[None, :] * tile_k) / jnp.float32(kp) - eps
-    pmax = (u + (tgrid[None, :] * tile_k + (tile_k - 1))) / \
-        jnp.float32(kp) + eps
-    below = rowmax[:, :, None] < first_pos[:, None, :]         # [B,Rc,Tp]
+
+    if systematic:
+        u = jnp.asarray(u, jnp.float32).reshape(batch_size, 1)
+        tgrid = jnp.arange(n_tiles_p, dtype=jnp.float32)
+        # Tile position extrema, epsilon-padded toward safety: starts
+        # use a LOWERED first position (a too-early window start only
+        # wastes compares), coverage uses a RAISED tile max (a
+        # too-strict coverage check only extends the window) - immune
+        # to <=2-ulp divergence between this XLA division and the
+        # kernel's.
+        eps = jnp.float32(3e-7)
+        first = (u + tgrid[None, :] * tile_k) / jnp.float32(kp) - eps
+        pmax = (u + (tgrid[None, :] * tile_k + (tile_k - 1))) / \
+            jnp.float32(kp) + eps
+    else:
+        pos = jnp.pad(pos.astype(jnp.float32), ((0, 0), (0, kp_pad - kp)),
+                      constant_values=2.0)
+        if range_sum:
+            lower = jnp.pad(lower.astype(jnp.float32),
+                            ((0, 0), (0, kp_pad - kp)),
+                            constant_values=2.0)
+        tiles = pos.reshape(batch_size, n_tiles_p, tile_k)
+        pmax = tiles[:, :, -1]
+        # Range mode windows must start below the tile's first LOWER
+        # edge (a slot equal to it still contributes); search/gather
+        # modes start below the first position.
+        first = (lower if range_sum else pos).reshape(
+            batch_size, n_tiles_p, tile_k)[:, :, 0]
+    below = rowmax[:, :, None] < first[:, None, :]             # [B,Rc,Tp]
     starts = jnp.sum(below.astype(jnp.int32), axis=1)          # [B, Tp]
     # W-aligned so window extensions never overlap or overshoot.
     starts = jnp.clip((starts // MERGE_ROWS) * MERGE_ROWS,
@@ -524,6 +591,28 @@ def systematic_search_gather_pallas(cdf, u, kp: int, values=(), *,
                           memory_space=pltpu.VMEM)
     p_spec = pl.BlockSpec((rp, LANE), lambda b: (b, 0),
                           memory_space=pltpu.VMEM)
+    in_specs = [smem(starts), smem(pmax), smem(rowmax)]
+    operands = [starts, pmax, rowmax]
+    if systematic:
+        in_specs.append(smem(u))
+        operands.append(u)
+    else:
+        in_specs.append(p_spec)
+        operands.append(pos.reshape(batch_size * rp, LANE))
+    if range_sum:
+        in_specs.append(p_spec)
+        operands.append(lower.reshape(batch_size * rp, LANE))
+        in_specs.append(c_spec)
+        operands.append(cdf.reshape(batch_size * rc, LANE))
+    else:
+        prev = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf[:, :-1]],
+                               axis=1)
+        in_specs += [c_spec, c_spec]
+        operands += [cdf.reshape(batch_size * rc, LANE),
+                     prev.reshape(batch_size * rc, LANE)]
+    in_specs += [c_spec] * num_values
+    operands += [v.reshape(batch_size * rc, LANE) for v in values]
+
     out_shapes = []
     out_specs = []
     if emit_idx:
@@ -536,18 +625,15 @@ def systematic_search_gather_pallas(cdf, u, kp: int, values=(), *,
     out_specs += [p_spec] * num_values
 
     outputs = pl.pallas_call(
-        _make_sys_kernel(num_values, kp, emit_idx),
+        _make_window_kernel(num_values, emit_idx,
+                            kp_real=kp if systematic else None,
+                            range_sum=range_sum),
         grid=(batch_size,),
-        in_specs=[smem(starts), smem(pmax), smem(rowmax), smem(u),
-                  c_spec, c_spec] + [c_spec] * num_values,
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(starts, pmax, rowmax, u,
-      cdf.reshape(batch_size * rc, LANE),
-      prev.reshape(batch_size * rc, LANE),
-      *[jnp.asarray(v).astype(jnp.float32).reshape(batch_size * rc, LANE)
-        for v in values])
+    )(*operands)
     if emit_idx:
         idx = jnp.clip(outputs[0].reshape(batch_size, kp_pad)[:, :kp],
                        0, kc - 1)
@@ -557,6 +643,43 @@ def systematic_search_gather_pallas(cdf, u, kp: int, values=(), *,
         rest = outputs
     gathered = [o.reshape(batch_size, kp_pad)[:, :kp] for o in rest]
     return idx, gathered
+
+
+def systematic_search_gather_pallas(cdf, u, kp: int, values=(), *,
+                                    emit_idx: bool = True,
+                                    interpret: bool = False):
+    """v5 systematic fast path: fused inverse-CDF search + gather with
+    IN-KERNEL positions pos[b, j] = (u[b] + j) / kp (the systematic grid
+    of `resampling.resampling_positions`, resampling.py:166-168).
+
+    cdf: [B, K] already-normalized sorted CDF; u: [B, 1] uniforms;
+    values: sequence of [B, K] float columns. Returns (idx | None,
+    [gathered...]).
+    """
+    return _window_call(cdf, values, kp, emit_idx, interpret, u=u)
+
+
+def sorted_search_gather_pallas(cdf, pos, values=(), *,
+                                emit_idx: bool = True,
+                                interpret: bool = False):
+    """v5 generalization to ARBITRARY sorted positions (stratified,
+    multinomial, soft): same precomputed-window kernel, positions loaded
+    from VMEM (W extra relayouts per tile vs the systematic mode; still
+    no serial merge cursors). Drop-in replacement for the v1
+    `searchsorted_sorted_cdf_pallas` standard path."""
+    return _window_call(cdf, values, pos.shape[1], emit_idx, interpret,
+                        pos=pos)
+
+
+def range_sum_pallas(slots, lower, upper, values, *,
+                     emit_idx: bool = False,
+                     interpret: bool = False):
+    """v5 segmented sum: out_j = sum of values over sorted `slots` in
+    [lower_j, upper_j) for sorted non-overlapping ranges - the
+    transposed-merge backward of the fused gather, in window-kernel
+    form."""
+    return _window_call(slots, values, upper.shape[1], emit_idx,
+                        interpret, pos=upper, lower=lower)
 
 
 def _make_merge_kernel_v3(num_values: int, emit_idx: bool):
@@ -954,8 +1077,11 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
     `aesmc_tpu.resampling.sample_ancestral_index` (same PRNG stream:
     positions are drawn exactly as in the XLA implementations)."""
     log_weight = jnp.asarray(log_weight)
-    pos = resampling_positions(log_weight, key, method)
     k = log_weight.shape[1]
+    if k > LARGE_KERNEL_PARTICLES:
+        raise ValueError(
+            f"pallas resampler supports K <= {LARGE_KERNEL_PARTICLES}; "
+            f"shard the particle axis (aesmc_tpu.parallel) for K = {k}")
     from .. import resampling as _r
 
     # All regimes search the XLA-computed CDF (~16 us at the headline
@@ -965,13 +1091,25 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
     # f32 summation association shifted ~1e-4 of bin edges vs XLA,
     # caught by bench.py's on-hardware verification.)
     cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
-    if k > MAX_KERNEL_PARTICLES:
-        chunks = max(1, -(-k // LARGE_K_CHUNK))
-        return searchsorted_sorted_cdf_pallas(
-            cdf, pos, chunks=chunks,
-            hbm_resident=k > VMEM_RESIDENT_PARTICLES,
-            interpret=interpret)
-    return searchsorted_sorted_cdf_pallas(cdf, pos, interpret=interpret)
+    if k <= MAX_KERNEL_PARTICLES:
+        # v5 window kernels (no serial merge cursors).
+        if method == "systematic":
+            batch_size = log_weight.shape[0]
+            u = jax.random.uniform(key, (batch_size, 1),
+                                   dtype=jnp.result_type(float))
+            idx, _ = systematic_search_gather_pallas(
+                cdf, u, k, (), interpret=interpret)
+            return idx
+        pos = _r.resampling_positions(log_weight, key, method)
+        idx, _ = sorted_search_gather_pallas(cdf, pos, (),
+                                             interpret=interpret)
+        return idx
+    pos = _r.resampling_positions(log_weight, key, method)
+    chunks = max(1, -(-k // LARGE_K_CHUNK))
+    return searchsorted_sorted_cdf_pallas(
+        cdf, pos, chunks=chunks,
+        hbm_resident=k > VMEM_RESIDENT_PARTICLES,
+        interpret=interpret)
 
 
 def _rg_run(log_weight, pos, columns):
@@ -980,7 +1118,7 @@ def _rg_run(log_weight, pos, columns):
     # XLA CDF shared with the reference implementation (see
     # sample_ancestral_index_pallas) -> bit-identical indices.
     cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
-    return cdf, searchsorted_sorted_cdf_pallas(cdf, pos, columns)
+    return cdf, sorted_search_gather_pallas(cdf, pos, columns)
 
 
 # Backward implementation for the fused gathers: "pallas" runs the
@@ -1012,10 +1150,15 @@ def gather_backward_pallas(cdf, pos, g_cols, *, chunks: int = 1,
     # Slots with pos >= cdf[-1] were clipped onto the last source.
     upper = jnp.concatenate(
         [cdf[:, :-1], jnp.full_like(cdf[:, :1], 2.0)], axis=1)
-    grads = searchsorted_sorted_cdf_pallas(
-        pos, upper, [jnp.asarray(g) for g in g_cols], chunks=chunks,
-        hbm_resident=hbm_resident, range_lower=lower,
-        interpret=interpret)[1]
+    g_cols = [jnp.asarray(g) for g in g_cols]
+    if chunks == 1 and not hbm_resident:
+        _, grads = range_sum_pallas(pos, lower, upper, g_cols,
+                                    interpret=interpret)
+    else:
+        grads = searchsorted_sorted_cdf_pallas(
+            pos, upper, g_cols, chunks=chunks,
+            hbm_resident=hbm_resident, range_lower=lower,
+            interpret=interpret)[1]
     return tuple(grads)
 
 
@@ -1066,6 +1209,15 @@ def _rg_bwd(residuals, cotangents):
 resample_and_gather.defvjp(_rg_fwd, _rg_bwd)
 
 
+def _rgc_run(chunks, hbm_resident, cdf, pos, columns):
+    if chunks == 1 and not hbm_resident:
+        # v5 window kernel (no serial merge cursors) - also the
+        # distributed resampler's per-shard global-CDF search.
+        return sorted_search_gather_pallas(cdf, pos, columns)
+    return searchsorted_sorted_cdf_pallas(
+        cdf, pos, columns, chunks=chunks, hbm_resident=hbm_resident)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def resample_and_gather_cdf(chunks, hbm_resident, cdf, pos, columns):
     """Differentiable fused search+gather for an ALREADY-normalized CDF
@@ -1073,14 +1225,12 @@ def resample_and_gather_cdf(chunks, hbm_resident, cdf, pos, columns):
     single-chip large-K path with `chunks > 1`). Value gradients flow
     back through the transposed-merge pallas backward; cdf/pos are
     detached (reference stop-gradient semantics)."""
-    idx, gathered = searchsorted_sorted_cdf_pallas(
-        cdf, pos, columns, chunks=chunks, hbm_resident=hbm_resident)
+    idx, gathered = _rgc_run(chunks, hbm_resident, cdf, pos, columns)
     return idx, tuple(gathered)
 
 
 def _rgc_fwd(chunks, hbm_resident, cdf, pos, columns):
-    idx, gathered = searchsorted_sorted_cdf_pallas(
-        cdf, pos, columns, chunks=chunks, hbm_resident=hbm_resident)
+    idx, gathered = _rgc_run(chunks, hbm_resident, cdf, pos, columns)
     return (idx, tuple(gathered)), (cdf, pos)
 
 

@@ -284,6 +284,9 @@ def resolve_implementation(shape, method: str, implementation) -> str:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
+    # Soft resampling draws multinomially from the tempered mixture; its
+    # fused path shares the multinomial kernel route.
+    method = "multinomial" if method == "soft" else method
     if on_tpu and method in METHODS and shape[-1] >= 4096:
         try:
             from .ops import resample_pallas
@@ -469,3 +472,55 @@ def soft_indices_and_weights(log_weight, key, alpha: float = 0.5):
     log_w_sel = jnp.take_along_axis(log_w, idx, axis=1)
     log_q_sel = jnp.take_along_axis(log_q, idx, axis=1)
     return idx, log_w_sel - jax.lax.stop_gradient(log_q_sel)
+
+
+def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
+                             implementation="auto"):
+    """Soft resampling with the particle gather FUSED into the kernel.
+
+    Same estimator as `soft_indices_and_weights` + a separate gather,
+    but on the pallas path the latent columns AND the two weight columns
+    (log_w, log_q) ride the same merge pass - one kernel instead of
+    resample + three gathers. Gradients flow into `log_weight` through
+    the gathered log_w column (the fused kernel's VJP differentiates the
+    gathered values; indices/positions stay detached), exactly matching
+    the unfused formula.
+
+    Returns (indices - detached, corrected log-weights, resampled value).
+    """
+    log_weight = jnp.asarray(log_weight)
+    _check_nan_eager(log_weight)
+    _, num_particles = log_weight.shape
+    if implementation == "auto":
+        implementation = _auto_implementation(log_weight, "multinomial")
+
+    log_w = amath.lognormexp(log_weight, dim=-1)
+    log_q = jnp.logaddexp(
+        jnp.log(alpha) + log_w,
+        jnp.full_like(log_w, jnp.log((1.0 - alpha) / num_particles))
+    ) if alpha < 1.0 else log_w
+
+    if (implementation == "pallas"
+            and num_particles <= _pallas_max_kernel_particles()):
+        columns, rebuild = _split_columns(value)
+        if columns is not None and len(columns) + 2 <= MAX_FUSED_COLUMNS:
+            from .ops import resample_pallas
+            lq_det = jax.lax.stop_gradient(log_q)
+            # Same PRNG stream as multinomial_indices(log_q, key).
+            pos = _multinomial_positions(lq_det, key)
+            idx, gathered = resample_pallas.resample_and_gather(
+                lq_det, pos, tuple(columns) + (log_w, log_q))
+            val_cols = list(gathered[:-2])
+            log_w_sel, log_q_sel = gathered[-2], gathered[-1]
+            corrected = log_w_sel - jax.lax.stop_gradient(log_q_sel)
+            return idx, corrected, rebuild(val_cols)
+
+    idx, corrected = soft_indices_and_weights(log_weight, key, alpha)
+    return idx, corrected, resample_particles(
+        value, idx,
+        implementation="pallas" if implementation == "pallas" else "xla")
+
+
+def _pallas_max_kernel_particles():
+    from .ops import resample_pallas
+    return resample_pallas.MAX_KERNEL_PARTICLES

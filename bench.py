@@ -129,7 +129,45 @@ def verify_kernels_on_hardware():
                            "total": b * k}
         log(f"verify K={k} ({regime}): idx mismatches {mism}/{b*k}, "
             f"gather dev {gdev}")
+
+        # v5 systematic kernel (in-kernel positions): must reproduce the
+        # XLA grid bit-exactly, including the f32 division.
+        if k <= rp.MAX_KERNEL_PARTICLES:
+            u = jax.random.uniform(jax.random.PRNGKey(2), (b, 1),
+                                   dtype=jnp.result_type(float))
+            pos5 = jnp.minimum(
+                (u + jnp.arange(k, dtype=jnp.float32)) / k,
+                jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+            idx5_ref = np.asarray(jnp.clip(jax.jit(jax.vmap(
+                functools_searchsorted))(cdf, pos5), 0, k - 1))
+            g5_ref = np.asarray(jnp.take_along_axis(
+                value, jnp.asarray(idx5_ref), axis=1))
+            idx5, (g5,) = rp.resample_and_gather_systematic(
+                True, logw, u, (value,))
+            m5 = int((np.asarray(idx5) != idx5_ref).sum())
+            gd5 = float(np.abs(np.asarray(g5) - g5_ref).max())
+            results[str(k)]["v5_idx_mismatches"] = m5
+            results[str(k)]["v5_gather_max_abs_dev"] = gd5
+            log(f"verify K={k} (v5 systematic): idx mismatches "
+                f"{m5}/{b*k}, gather dev {gd5}")
+
+            # Transposed-merge backward: exact segment assignment
+            # (integer cotangents make the sums exact in f32).
+            gint = jnp.round(jax.random.normal(
+                jax.random.PRNGKey(3), (b, k)) * 3.0)
+            bwd_ref = np.asarray(jax.vmap(
+                lambda gr, ir: jax.ops.segment_sum(gr, ir,
+                                                   num_segments=k)
+            )(gint, jnp.asarray(idx5_ref)))
+            (bwd_p,) = rp.gather_backward_pallas(cdf, pos5, [gint])
+            mb = int((np.asarray(bwd_p) != bwd_ref).sum())
+            results[str(k)]["bwd_mismatches"] = mb
+            log(f"verify K={k} (rangesum backward): mismatched sources "
+                f"{mb}/{b*k}")
     ok = all(r["idx_mismatches"] == 0 and r["gather_max_abs_dev"] == 0.0
+             and r.get("v5_idx_mismatches", 0) == 0
+             and r.get("v5_gather_max_abs_dev", 0.0) == 0.0
+             and r.get("bwd_mismatches", 0) == 0
              for r in results.values())
     out = {"ok": ok, "results": results}
     (pathlib.Path(__file__).resolve().parent / "benchmarks" /

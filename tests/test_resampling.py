@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from aesmc_tpu import resampling
+from aesmc_tpu.ops import resample_pallas
 
 KEY = jax.random.PRNGKey(0)
 
@@ -221,3 +222,73 @@ class TestCdfInvariants:
                                       np.full((1, 64), 63))
         np.testing.assert_array_equal(np.asarray(g),
                                       np.full((1, 64), 63.0))
+
+
+class TestFusedSoftResampling:
+    """soft_resample_and_gather: the pallas-fused path must match the
+    unfused soft_indices_and_weights + XLA gather bit-for-bit in indices
+    and to float tolerance in corrected weights, values and gradients."""
+
+    def setup_method(self):
+        resample_pallas.FORCE_INTERPRET = True
+
+    def teardown_method(self):
+        resample_pallas.FORCE_INTERPRET = False
+
+    def test_matches_unfused(self):
+        key = jax.random.PRNGKey(3)
+        logw = jax.random.normal(key, (3, 512)) * 2.0
+        value = {"x": jax.random.normal(jax.random.PRNGKey(4), (3, 512)),
+                 "y": jax.random.normal(jax.random.PRNGKey(5),
+                                        (3, 512, 2))}
+        kk = jax.random.PRNGKey(6)
+        idx_f, corr_f, val_f = resampling.soft_resample_and_gather(
+            logw, kk, value, alpha=0.5, implementation="pallas")
+        idx_u, corr_u = resampling.soft_indices_and_weights(
+            logw, kk, alpha=0.5)
+        val_u = resampling.resample_particles(value, idx_u)
+        np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_u))
+        np.testing.assert_allclose(np.asarray(corr_f), np.asarray(corr_u),
+                                   atol=1e-6)
+        for k in value:
+            np.testing.assert_allclose(np.asarray(val_f[k]),
+                                       np.asarray(val_u[k]), atol=1e-6)
+
+    def test_gradients_match_unfused(self):
+        key = jax.random.PRNGKey(7)
+        logw = jax.random.normal(key, (2, 256))
+        value = jax.random.normal(jax.random.PRNGKey(8), (2, 256))
+        kk = jax.random.PRNGKey(9)
+
+        def fused(lw):
+            _, corr, val = resampling.soft_resample_and_gather(
+                lw, kk, value, alpha=0.5, implementation="pallas")
+            return jnp.sum(corr ** 2) + jnp.sum(val)
+
+        def unfused(lw):
+            idx, corr = resampling.soft_indices_and_weights(
+                lw, kk, alpha=0.5)
+            val = resampling.resample_particles(value, idx)
+            return jnp.sum(corr ** 2) + jnp.sum(val)
+
+        gf = jax.grad(fused)(logw)
+        gu = jax.grad(unfused)(logw)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gu),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_xla_fallback_path(self):
+        key = jax.random.PRNGKey(10)
+        logw = jax.random.normal(key, (2, 64))
+        value = jax.random.normal(jax.random.PRNGKey(11), (2, 64))
+        idx, corr, val = resampling.soft_resample_and_gather(
+            logw, jax.random.PRNGKey(12), value, alpha=0.7,
+            implementation="xla")
+        idx_u, corr_u = resampling.soft_indices_and_weights(
+            logw, jax.random.PRNGKey(12), alpha=0.7)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_u))
+        np.testing.assert_allclose(np.asarray(corr), np.asarray(corr_u),
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(val),
+            np.asarray(jnp.take_along_axis(value, idx_u, axis=1)),
+            atol=1e-6)
