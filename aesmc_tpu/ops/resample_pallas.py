@@ -409,20 +409,19 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum):
         else:
             vout_refs = outs
 
-        b = pl.program_id(0)
         rc = cdf_ref.shape[0]
         n_tiles_p = vout_refs[0].shape[0] // w_tile if num_values \
             else idx_ref.shape[0] // w_tile
         tile_k = w_tile * LANE
         if systematic:
             kf = jnp.float32(kp_real)
-            u = u_ref[b, 0]
+            u = u_ref[0, 0, 0]
             iota = jax.lax.broadcasted_iota(
                 jnp.int32, (LANE, 1), 0).astype(jnp.float32)
 
         def tile_body(t, _):
-            start = starts_ref[b, t]
-            pmax = pmax_ref[b, t]
+            start = starts_ref[0, 0, t]
+            pmax = pmax_ref[0, 0, t]
             if not systematic:
                 pos_tile = pos_ref[pl.ds(t * w_tile, w_tile), :]
             if range_sum:
@@ -497,7 +496,7 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum):
             def cond(carry):
                 wend = carry[0]
                 covered = rowmax_ref[
-                    b, jnp.minimum(wend, rc) - 1] > pmax
+                    0, 0, jnp.minimum(wend, rc) - 1] > pmax
                 return jnp.logical_and(jnp.logical_not(covered),
                                        wend < rc)
 
@@ -521,6 +520,23 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum):
         jax.lax.fori_loop(0, n_tiles_p, tile_body, jnp.int32(0))
 
     return kernel
+
+
+# v5 whole-row blocks must fit (double-buffered) in the raised 100 MB
+# scoped-VMEM budget - roughly 2M particles with one value column.
+V5_VMEM_BUDGET = 90 * 1024 * 1024
+
+
+def v5_fits(kc: int, kp: int, num_values: int, *,
+            systematic: bool = False, range_sum: bool = False,
+            emit_idx: bool = True) -> bool:
+    """Whether the v5 window kernel's whole-row blocks fit in VMEM."""
+    rc = _padded_k(kc + 1) // LANE
+    rp = _padded_k(kp) // LANE
+    n_c = (1 if range_sum else 2) + num_values
+    n_p = ((0 if systematic else 1) + (1 if range_sum else 0) +
+           num_values + (1 if emit_idx else 0))
+    return 2 * 4 * LANE * (rc * n_c + rp * n_p) <= V5_VMEM_BUDGET
 
 
 def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
@@ -585,17 +601,26 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
     starts = jnp.clip((starts // MERGE_ROWS) * MERGE_ROWS,
                       0, rc - MERGE_ROWS).astype(jnp.int32)
 
-    smem = lambda arr: pl.BlockSpec(arr.shape, lambda b: (0, 0),
+    # Per-program SMEM row blocks: each grid program sees only its
+    # batch row's tables (the 1M-particle rowmax table is 32 KB/row).
+    # Tables are [B, 1, W] so the block equals the array's last two
+    # dims (Mosaic's block-shape rule).
+    smem = lambda arr: pl.BlockSpec((1,) + arr.shape[1:],
+                                    lambda b: (b, 0, 0),
                                     memory_space=pltpu.SMEM)
     c_spec = pl.BlockSpec((rc, LANE), lambda b: (b, 0),
                           memory_space=pltpu.VMEM)
     p_spec = pl.BlockSpec((rp, LANE), lambda b: (b, 0),
                           memory_space=pltpu.VMEM)
-    in_specs = [smem(starts), smem(pmax), smem(rowmax)]
-    operands = [starts, pmax, rowmax]
+    starts3 = starts[:, None, :]
+    pmax3 = pmax[:, None, :]
+    rowmax3 = rowmax[:, None, :]
+    in_specs = [smem(starts3), smem(pmax3), smem(rowmax3)]
+    operands = [starts3, pmax3, rowmax3]
     if systematic:
-        in_specs.append(smem(u))
-        operands.append(u)
+        u3 = u[:, None, :]
+        in_specs.append(smem(u3))
+        operands.append(u3)
     else:
         in_specs.append(p_spec)
         operands.append(pos.reshape(batch_size * rp, LANE))
@@ -624,6 +649,16 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
                    for _ in range(num_values)]
     out_specs += [p_spec] * num_values
 
+    # Large K: the whole-row blocks exceed the default 16 MB scoped-VMEM
+    # budget past ~400k particles (double-buffered by the pipeline);
+    # v5e has 128 MB of VMEM.
+    n_c = (1 if range_sum else 2) + num_values
+    n_p_in = (0 if systematic else 1) + (1 if range_sum else 0)
+    vmem_bytes = 2 * 4 * LANE * (rc * n_c +
+                                 rp * (n_p_in + len(out_shapes)))
+    compiler_params = (pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+        if vmem_bytes > 14 * 1024 * 1024 else None)
     outputs = pl.pallas_call(
         _make_window_kernel(num_values, emit_idx,
                             kp_real=kp if systematic else None,
@@ -632,6 +667,7 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
     if emit_idx:
@@ -1091,15 +1127,15 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
     # f32 summation association shifted ~1e-4 of bin edges vs XLA,
     # caught by bench.py's on-hardware verification.)
     cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
-    if k <= MAX_KERNEL_PARTICLES:
-        # v5 window kernels (no serial merge cursors).
-        if method == "systematic":
-            batch_size = log_weight.shape[0]
-            u = jax.random.uniform(key, (batch_size, 1),
-                                   dtype=jnp.result_type(float))
-            idx, _ = systematic_search_gather_pallas(
-                cdf, u, k, (), interpret=interpret)
-            return idx
+    if method == "systematic" and v5_fits(k, k, 0, systematic=True):
+        # v5 window kernel (no serial merge cursors).
+        batch_size = log_weight.shape[0]
+        u = jax.random.uniform(key, (batch_size, 1),
+                               dtype=jnp.result_type(float))
+        idx, _ = systematic_search_gather_pallas(
+            cdf, u, k, (), interpret=interpret)
+        return idx
+    if v5_fits(k, k, 0):
         pos = _r.resampling_positions(log_weight, key, method)
         idx, _ = sorted_search_gather_pallas(cdf, pos, (),
                                              interpret=interpret)
@@ -1210,7 +1246,8 @@ resample_and_gather.defvjp(_rg_fwd, _rg_bwd)
 
 
 def _rgc_run(chunks, hbm_resident, cdf, pos, columns):
-    if chunks == 1 and not hbm_resident:
+    if chunks == 1 and not hbm_resident and v5_fits(
+            cdf.shape[1], pos.shape[1], len(columns)):
         # v5 window kernel (no serial merge cursors) - also the
         # distributed resampler's per-shard global-CDF search.
         return sorted_search_gather_pallas(cdf, pos, columns)

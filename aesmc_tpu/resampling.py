@@ -383,9 +383,12 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
             from .ops import resample_pallas
             k = log_weight.shape[1]
             if (method == "systematic"
-                    and k <= resample_pallas.MAX_KERNEL_PARTICLES):
+                    and resample_pallas.v5_fits(
+                        k, k, len(columns), systematic=True,
+                        emit_idx=need_indices)):
                 # v5 fast path: same PRNG stream (one uniform per row),
-                # positions rebuilt inside the kernel.
+                # positions rebuilt inside the kernel. Covers up to
+                # ~1-2M particles (whole-row VMEM blocks).
                 batch_size = log_weight.shape[0]
                 u = jax.random.uniform(key, (batch_size, 1),
                                        dtype=jnp.result_type(float))
@@ -395,7 +398,7 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
                 return idx, rebuild(list(gathered))
             pos = resample_pallas.resampling_positions(
                 log_weight, key, method)
-            if k > resample_pallas.MAX_KERNEL_PARTICLES:
+            if not resample_pallas.v5_fits(k, k, len(columns)):
                 # Large-K path: CDF in XLA, chunked-position kernel with
                 # the CDF + one value column VMEM-resident per call.
                 cdf = _normalized_cumsum(log_weight)
@@ -500,11 +503,13 @@ def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
         jnp.full_like(log_w, jnp.log((1.0 - alpha) / num_particles))
     ) if alpha < 1.0 else log_w
 
-    if (implementation == "pallas"
-            and num_particles <= _pallas_max_kernel_particles()):
+    if implementation == "pallas":
         columns, rebuild = _split_columns(value)
-        if columns is not None and len(columns) + 2 <= MAX_FUSED_COLUMNS:
-            from .ops import resample_pallas
+        from .ops import resample_pallas
+        if (columns is not None
+                and len(columns) + 2 <= MAX_FUSED_COLUMNS
+                and resample_pallas.v5_fits(num_particles, num_particles,
+                                            len(columns) + 2)):
             lq_det = jax.lax.stop_gradient(log_q)
             # Same PRNG stream as multinomial_indices(log_q, key).
             pos = _multinomial_positions(lq_det, key)
@@ -520,7 +525,3 @@ def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
         value, idx,
         implementation="pallas" if implementation == "pallas" else "xla")
 
-
-def _pallas_max_kernel_particles():
-    from .ops import resample_pallas
-    return resample_pallas.MAX_KERNEL_PARTICLES

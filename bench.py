@@ -132,7 +132,7 @@ def verify_kernels_on_hardware():
 
         # v5 systematic kernel (in-kernel positions): must reproduce the
         # XLA grid bit-exactly, including the f32 division.
-        if k <= rp.MAX_KERNEL_PARTICLES:
+        if rp.v5_fits(k, k, 1, systematic=True):
             u = jax.random.uniform(jax.random.PRNGKey(2), (b, 1),
                                    dtype=jnp.result_type(float))
             pos5 = jnp.minimum(
