@@ -718,196 +718,6 @@ def range_sum_pallas(slots, lower, upper, values, *,
                         interpret, pos=upper, lower=lower)
 
 
-def _make_merge_kernel_v3(num_values: int, emit_idx: bool):
-    """Round-2 winner candidate: v1's merge with the trip overhead
-    removed at the source.
-
-    - The kernel receives the CDF *and a pre-shifted copy*
-      (cdf_prev[i] = cdf[i-1], 0 at i=0, shifted in XLA where it fuses
-      for free), so the one-hot selector needs NO per-column roll,
-      boundary slice, or scalar extract - the two biggest per-trip
-      serialization points of v1.
-    - Cursor logic (row_done) reads precomputed tile maxima from SMEM.
-    - `emit_idx=False` drops count sums + index accumulators (pure
-      inference path).
-
-    Refs: smem cmax [B,Tc], pmax [B,Tp]; cdf [Rc,128], cdf_prev
-    [Rc,128], pos [Rp,128], num_values x values [Rc,128]; outputs
-    ([idx] + gathered values).
-    """
-
-    def kernel(*refs):
-        cmax_ref, pmax_ref = refs[0], refs[1]
-        cdf_ref, cdfp_ref, pos_ref = refs[2], refs[3], refs[4]
-        v_refs = refs[5:5 + num_values]
-        outs = refs[5 + num_values:]
-        if emit_idx:
-            idx_ref, vout_refs = outs[0], outs[1:]
-        else:
-            vout_refs = outs
-
-        b = pl.program_id(0)
-        r = cdf_ref.shape[0]
-        w_tile = MERGE_ROWS
-        n_tiles = r // w_tile
-        n_tiles_p = pos_ref.shape[0] // w_tile
-        tile_k = w_tile * LANE
-
-        def trip(carry):
-            p, rr, acc, vaccs = carry
-            active = p < n_tiles_p
-            p_safe = jnp.minimum(p, n_tiles_p - 1)
-            row_done = jnp.logical_and(
-                cmax_ref[b, rr] <= pmax_ref[b, p_safe],
-                rr < n_tiles - 1)
-            finalize = jnp.logical_and(active, jnp.logical_not(row_done))
-
-            pos_tile = pos_ref[pl.ds(p_safe * w_tile, w_tile), :]
-            cum_tile = cdf_ref[pl.ds(rr * w_tile, w_tile), :]
-            cump_tile = cdfp_ref[pl.ds(rr * w_tile, w_tile), :]
-            v_tiles = [vr[pl.ds(rr * w_tile, w_tile), :] for vr in v_refs]
-
-            cum_cols = [cum_tile[c:c + 1, :].reshape(LANE, 1)
-                        for c in range(w_tile)]
-            prev_cols = [cump_tile[c:c + 1, :].reshape(LANE, 1)
-                         for c in range(w_tile)]
-            v_cols = [[vt[c:c + 1, :].reshape(LANE, 1)
-                       for c in range(w_tile)] for vt in v_tiles]
-
-            cnt_rows = []
-            vrows = [[] for _ in range(num_values)]
-            for a in range(w_tile):
-                pos_row = pos_tile[a:a + 1, :]
-                c = jnp.zeros((1, LANE), jnp.int32)
-                vrow = [jnp.zeros((1, LANE), jnp.float32)
-                        for _ in range(num_values)]
-                for col in range(w_tile):
-                    le = cum_cols[col] <= pos_row
-                    if emit_idx:
-                        c = c + jnp.sum(le.astype(jnp.int32), axis=0,
-                                        keepdims=True)
-                    sel = jnp.logical_and(prev_cols[col] <= pos_row,
-                                          jnp.logical_not(le))
-                    for q in range(num_values):
-                        vrow[q] = vrow[q] + jnp.sum(
-                            jnp.where(sel, v_cols[q][col], 0.0),
-                            axis=0, keepdims=True)
-                if emit_idx:
-                    cnt_rows.append(c)
-                for q in range(num_values):
-                    vrows[q].append(vrow[q])
-            cnt = (jnp.concatenate(cnt_rows, axis=0)
-                   if emit_idx else None)
-            vcnt = [jnp.concatenate(vr, axis=0) for vr in vrows]
-
-            @pl.when(finalize)
-            def _():
-                if emit_idx:
-                    idx_ref[pl.ds(p_safe * w_tile, w_tile), :] = acc + cnt
-                for q in range(num_values):
-                    vout_refs[q][pl.ds(p_safe * w_tile, w_tile), :] = \
-                        vaccs[q] + vcnt[q]
-
-            if emit_idx:
-                new_acc = jnp.where(
-                    row_done, acc + cnt,
-                    (tile_k * rr) * jnp.ones_like(acc))
-                new_acc = jnp.where(active, new_acc, acc)
-            else:
-                new_acc = acc
-            new_vaccs = tuple(
-                jnp.where(row_done, vaccs[q] + vcnt[q],
-                          jnp.zeros_like(vaccs[q]))
-                for q in range(num_values))
-            new_vaccs = tuple(jnp.where(active, nv, v)
-                              for nv, v in zip(new_vaccs, vaccs))
-            new_p = jnp.where(finalize, p + 1, p)
-            new_r = jnp.where(jnp.logical_and(active, row_done),
-                              rr + 1, rr)
-            return new_p, new_r, new_acc, new_vaccs
-
-        acc0 = (jnp.zeros((w_tile, LANE), jnp.int32) if emit_idx
-                else jnp.zeros((1, 1), jnp.int32))
-        vacc0 = tuple(jnp.zeros((w_tile, LANE), jnp.float32)
-                      for _ in range(num_values))
-        jax.lax.while_loop(
-            lambda carry: carry[0] < n_tiles_p,
-            lambda carry: trip(trip(carry)),
-            (jnp.int32(0), jnp.int32(0), acc0, vacc0))
-
-    return kernel
-
-
-def fused_search_gather_v3(cdf, pos, values=(), *, emit_idx: bool = True,
-                           interpret: bool = False):
-    """v3 merge entry: shifted-CDF trick + SMEM tile maxima. See
-    `_make_merge_kernel_v3`. Returns (idx or None, [gathered...])."""
-    interpret = interpret or FORCE_INTERPRET
-    batch_size, kc = cdf.shape
-    _, kp = pos.shape
-    values = list(values)
-    num_values = len(values)
-    kc_pad = _padded_k(kc)
-    kp_pad = _padded_k(kp)
-    if kc_pad != kc:
-        cdf = jnp.pad(cdf, ((0, 0), (0, kc_pad - kc)), constant_values=2.0)
-        values = [jnp.pad(v, ((0, 0), (0, kc_pad - kc)), mode="edge")
-                  for v in values]
-    if kp_pad != kp:
-        pos = jnp.pad(pos, ((0, 0), (0, kp_pad - kp)), constant_values=2.0)
-    rc = kc_pad // LANE
-    rp = kp_pad // LANE
-    tile_k = MERGE_ROWS * LANE
-
-    cdf = cdf.astype(jnp.float32)
-    pos = pos.astype(jnp.float32)
-    cdf_prev = jnp.concatenate(
-        [jnp.zeros_like(cdf[:, :1]), cdf[:, :-1]], axis=1)
-    cmax = cdf.reshape(batch_size, kc_pad // tile_k, tile_k)[:, :, -1]
-    pmax = pos.reshape(batch_size, kp_pad // tile_k, tile_k)[:, :, -1]
-
-    smem = lambda arr: pl.BlockSpec(
-        arr.shape, lambda b: (0, 0), memory_space=pltpu.SMEM)
-    c_spec = pl.BlockSpec((rc, LANE), lambda b: (b, 0),
-                          memory_space=pltpu.VMEM)
-    p_spec = pl.BlockSpec((rp, LANE), lambda b: (b, 0),
-                          memory_space=pltpu.VMEM)
-    out_shapes = []
-    out_specs = []
-    if emit_idx:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((batch_size * rp, LANE), jnp.int32))
-        out_specs.append(p_spec)
-    out_shapes += [jax.ShapeDtypeStruct((batch_size * rp, LANE),
-                                        jnp.float32)
-                   for _ in range(num_values)]
-    out_specs += [p_spec] * num_values
-
-    outputs = pl.pallas_call(
-        _make_merge_kernel_v3(num_values, emit_idx),
-        grid=(batch_size,),
-        in_specs=[smem(cmax), smem(pmax), c_spec, c_spec, p_spec] +
-                 [c_spec] * num_values,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(cmax, pmax,
-      cdf.reshape(batch_size * rc, LANE),
-      cdf_prev.reshape(batch_size * rc, LANE),
-      pos.reshape(batch_size * rp, LANE),
-      *[jnp.asarray(v).astype(jnp.float32).reshape(batch_size * rc, LANE)
-        for v in values])
-    if emit_idx:
-        idx = jnp.clip(outputs[0].reshape(batch_size, kp_pad)[:, :kp],
-                       0, kc - 1)
-        rest = outputs[1:]
-    else:
-        idx = None
-        rest = outputs
-    gathered = [o.reshape(batch_size, kp_pad)[:, :kp] for o in rest]
-    return idx, gathered
-
-
 def searchsorted_cdf_pallas(log_weight, pos, values=(), *,
                             interpret: bool = False):
     """idx[b, j] = #{i: normalized_cumsum(log_weight)[b, i] <= pos[b, j]},

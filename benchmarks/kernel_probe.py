@@ -65,23 +65,22 @@ for name, fn in (("empty", chain_empty), ("idx-only", chain_idx),
         f"compile {time.time()-t0:.0f}s)")
 
 
-def chain_v2(carry):
+def chain_v5(carry):
     logw_c, s = carry
-    pos = rp.resampling_positions(logw_c, jax.random.PRNGKey(2),
-                                  "systematic")
     from aesmc_tpu import resampling as R
     cdf = R._normalized_cumsum(logw_c)
-    idx, (g,) = rp.fused_search_gather_v2(cdf, pos, (value,))
+    u = jax.random.uniform(jax.random.PRNGKey(2), (B, 1), dtype=jnp.float32)
+    idx, (g,) = rp.systematic_search_gather_pallas(cdf, u, K, (value,))
     return logw_c + 1e-9 * g, s + jnp.sum(idx)
 
 
-def chain_v2_noidx(carry):
+def chain_v5_noidx(carry):
     logw_c, s = carry
-    pos = rp.resampling_positions(logw_c, jax.random.PRNGKey(2),
-                                  "systematic")
     from aesmc_tpu import resampling as R
     cdf = R._normalized_cumsum(logw_c)
-    _, (g,) = rp.fused_search_gather_v2(cdf, pos, (value,), emit_idx=False)
+    u = jax.random.uniform(jax.random.PRNGKey(2), (B, 1), dtype=jnp.float32)
+    _, (g,) = rp.systematic_search_gather_pallas(cdf, u, K, (value,),
+                                                 emit_idx=False)
     return logw_c + 1e-9 * g, s + jnp.sum(g)
 
 
@@ -93,47 +92,9 @@ def chain_xla_cdf_only(carry):
 
 
 for name, fn in (("xla-cdf-only", chain_xla_cdf_only),
-                 ("v2 fused-1col", chain_v2),
-                 ("v2 fused-1col-noidx", chain_v2_noidx)):
+                 ("v5 fused-1col", chain_v5),
+                 ("v5 fused-1col-noidx", chain_v5_noidx)):
     t0 = time.time()
     dt = bench.timed_chained(fn, (logw, jnp.float32(0)), chain=CHAIN)
     log(f"{name}: {dt*1e3:.3f} ms/call (chain={CHAIN}, "
         f"compile {time.time()-t0:.0f}s)")
-
-
-import os
-CHUNKS = [int(c) for c in os.environ.get("AESMC_PROBE_CHUNKS",
-                                         "2,5,10,20").split(",")]
-for chunks in CHUNKS:
-    def chain_chunked(carry, chunks=chunks):
-        logw_c, s = carry
-        pos = rp.resampling_positions(logw_c, jax.random.PRNGKey(2),
-                                      "systematic")
-        from aesmc_tpu import resampling as R
-        cdf = R._normalized_cumsum(logw_c)
-        idx, (g,) = rp.resample_and_gather_cdf(chunks, False, cdf, pos,
-                                               (value,))
-        return logw_c + 1e-9 * g, s + jnp.sum(idx)
-
-    t0 = time.time()
-    dt = bench.timed_chained(chain_chunked, (logw, jnp.float32(0)),
-                             chain=CHAIN)
-    log(f"chunked-{chunks} fused-1col: {dt*1e3:.3f} ms/call "
-        f"(compile {time.time()-t0:.0f}s)")
-
-
-for emit in (True, False):
-    def chain_v3(carry, emit=emit):
-        logw_c, s = carry
-        pos = rp.resampling_positions(logw_c, jax.random.PRNGKey(2),
-                                      "systematic")
-        from aesmc_tpu import resampling as R
-        cdf = R._normalized_cumsum(logw_c)
-        idx, (g,) = rp.fused_search_gather_v3(cdf, pos, (value,),
-                                              emit_idx=emit)
-        return logw_c + 1e-9 * g, s + jnp.sum(g)
-
-    t0 = time.time()
-    dt = bench.timed_chained(chain_v3, (logw, jnp.float32(0)), chain=CHAIN)
-    log(f"v3 fused-1col emit_idx={emit}: {dt*1e3:.3f} ms/call "
-        f"(compile {time.time()-t0:.0f}s)")

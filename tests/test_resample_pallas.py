@@ -210,24 +210,33 @@ def test_hbm_resident_mode_interpret():
                                   np.take_along_axis(v, want, 1))
 
 
-class TestFusedSearchGatherV3:
-    """Experimental v3 merge (pre-shifted CDF + SMEM tile maxima):
-    measured at parity with v1 on hardware (BENCH_NOTES round 2); kept
-    as the base for round-3 profiling. Exactness contract identical."""
+class TestWindowKernels:
+    """v5 window kernels (round 2): systematic (in-kernel positions) and
+    sorted modes, emit_idx on/off. Exactness contract identical to v1."""
 
     @pytest.mark.parametrize("emit_idx", [True, False])
-    def test_exact_vs_xla(self, emit_idx):
+    @pytest.mark.parametrize("mode", ["systematic", "sorted"])
+    def test_exact_vs_xla(self, emit_idx, mode):
         from aesmc_tpu import resampling as R
         logw = jax.random.normal(jax.random.PRNGKey(0), (3, 1000)) * 3.0
         v = jax.random.normal(jax.random.PRNGKey(1), (3, 1000))
-        pos = R.resampling_positions(logw, jax.random.PRNGKey(2),
-                                     "systematic")
         cdf = R._normalized_cumsum(logw)
+        if mode == "systematic":
+            u = jax.random.uniform(jax.random.PRNGKey(2), (3, 1),
+                                   dtype=jnp.float32)
+            pos = jnp.minimum(
+                (u + jnp.arange(1000, dtype=jnp.float32)) / 1000,
+                jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+            idx, (g,) = resample_pallas.systematic_search_gather_pallas(
+                cdf, u, 1000, (v,), emit_idx=emit_idx, interpret=True)
+        else:
+            pos = R.resampling_positions(logw, jax.random.PRNGKey(2),
+                                         "stratified")
+            idx, (g,) = resample_pallas.sorted_search_gather_pallas(
+                cdf, pos, (v,), emit_idx=emit_idx, interpret=True)
         idx_ref = jnp.clip(
             jax.vmap(lambda c, p: jnp.searchsorted(c, p, side="right"))(
                 cdf, pos), 0, 999)
-        idx, (g,) = resample_pallas.fused_search_gather_v3(
-            cdf, pos, (v,), emit_idx=emit_idx, interpret=True)
         if emit_idx:
             np.testing.assert_array_equal(np.asarray(idx),
                                           np.asarray(idx_ref))
