@@ -117,6 +117,30 @@ def gather_sorted_pallas(value, index, *, interpret: bool = False):
     for s in trailing:
         d *= s
 
+    # v5 route (round 2): a sorted-integer gather IS an inverse-CDF
+    # search on scaled keys - cdf_i = (i+1)/K, pos_j = (idx_j + 0.5)/K
+    # places each query strictly inside its source's bin (exact in f32
+    # for K <= 2^21: numerators are integers+0.5 below 2^22 and the
+    # quotient gap 0.5/K stays >= 2 ulp). Reuses the window kernel: no
+    # serial cursors, W relayouts per output tile instead of 2W per
+    # merge trip, one search shared by all D feature columns.
+    from . import resample_pallas as _rp
+
+    if (k <= 2 ** 21 and _rp.AVAILABLE
+            and _rp.v5_fits(k, k, d, emit_idx=False)):
+        cols = value.reshape(batch_size, k, d)
+        cols = [cols[:, :, q].astype(jnp.float32) for q in range(d)]
+        kf = jnp.float32(k)
+        keys = jnp.broadcast_to(
+            (jnp.arange(1, k + 1, dtype=jnp.float32)) / kf,
+            (batch_size, k))
+        pos = (index.astype(jnp.float32) + 0.5) / kf
+        _, gathered = _rp.sorted_search_gather_pallas(
+            keys, pos, cols, emit_idx=False, interpret=interpret)
+        out = jnp.stack(gathered, axis=-1).reshape(
+            (batch_size, k) + trailing)
+        return out.astype(value.dtype)
+
     k_pad = _round_up(k, MERGE_ROWS * LANE)
     r = k_pad // LANE
 

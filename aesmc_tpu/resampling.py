@@ -330,9 +330,12 @@ def _split_columns(value):
     return columns, rebuild
 
 
-# Max feature columns fused into the resampling kernel (compile size and
-# VMEM grow with it); beyond this the separate sorted-gather kernel runs.
-MAX_FUSED_COLUMNS = 8
+# Max feature columns fused into the resampling kernel (compile size
+# grows with it; VMEM pressure is handled by resample_pallas.v5_fits);
+# beyond this the separate sorted-gather kernel runs. Raised 8 -> 12 in
+# round 2 (the v5 window kernels dropped per-column VMEM cost), so
+# 10-12-dim latent models (lgssm_nd, VRNN-sized states) stay fused.
+MAX_FUSED_COLUMNS = 12
 
 
 def sample_ancestral_index_and_resample(log_weight, key, value,

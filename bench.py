@@ -99,9 +99,13 @@ def verify_kernels_on_hardware():
 
     results = {}
     key = jax.random.PRNGKey(42)
-    for k in (10_000, 131_072, 524_288, 1_000_000, 4_194_304):
+    # (K, weight scale): the scale-30 case drives highly degenerate
+    # weights, exercising the v5 window-extension while loop.
+    for k, scale in ((10_000, 3.0), (10_000, 30.0), (131_072, 3.0),
+                     (524_288, 3.0), (1_000_000, 3.0),
+                     (4_194_304, 3.0)):
         b = 4 if k <= 131_072 else (2 if k <= 1_000_000 else 1)
-        logw = jax.random.normal(key, (b, k)) * 3.0
+        logw = jax.random.normal(key, (b, k)) * scale
         value = jax.random.normal(jax.random.PRNGKey(1), (b, k))
         pos = R.resampling_positions(logw, jax.random.PRNGKey(2),
                                      "systematic")
@@ -124,11 +128,12 @@ def verify_kernels_on_hardware():
             regime = "hbm-resident" if hbm else "vmem-resident"
         mism = int((np.asarray(idx_p) != idx_ref).sum())
         gdev = float(np.abs(np.asarray(g_p) - g_ref).max())
-        results[str(k)] = {"regime": regime, "idx_mismatches": mism,
-                           "gather_max_abs_dev": gdev,
-                           "total": b * k}
-        log(f"verify K={k} ({regime}): idx mismatches {mism}/{b*k}, "
-            f"gather dev {gdev}")
+        rkey = f"{k}@s{scale:g}"
+        results[rkey] = {"regime": regime, "idx_mismatches": mism,
+                         "gather_max_abs_dev": gdev,
+                         "total": b * k}
+        log(f"verify K={k} s={scale:g} ({regime}): idx mismatches "
+            f"{mism}/{b*k}, gather dev {gdev}")
 
         # v5 systematic kernel (in-kernel positions): must reproduce the
         # XLA grid bit-exactly, including the f32 division.
@@ -146,8 +151,8 @@ def verify_kernels_on_hardware():
                 True, logw, u, (value,))
             m5 = int((np.asarray(idx5) != idx5_ref).sum())
             gd5 = float(np.abs(np.asarray(g5) - g5_ref).max())
-            results[str(k)]["v5_idx_mismatches"] = m5
-            results[str(k)]["v5_gather_max_abs_dev"] = gd5
+            results[rkey]["v5_idx_mismatches"] = m5
+            results[rkey]["v5_gather_max_abs_dev"] = gd5
             log(f"verify K={k} (v5 systematic): idx mismatches "
                 f"{m5}/{b*k}, gather dev {gd5}")
 
@@ -161,7 +166,7 @@ def verify_kernels_on_hardware():
             )(gint, jnp.asarray(idx5_ref)))
             (bwd_p,) = rp.gather_backward_pallas(cdf, pos5, [gint])
             mb = int((np.asarray(bwd_p) != bwd_ref).sum())
-            results[str(k)]["bwd_mismatches"] = mb
+            results[rkey]["bwd_mismatches"] = mb
             log(f"verify K={k} (rangesum backward): mismatched sources "
                 f"{mb}/{b*k}")
     ok = all(r["idx_mismatches"] == 0 and r["gather_max_abs_dev"] == 0.0

@@ -292,3 +292,26 @@ class TestFusedSoftResampling:
             np.asarray(val),
             np.asarray(jnp.take_along_axis(value, idx_u, axis=1)),
             atol=1e-6)
+
+
+class TestMultiColumnFusedPath:
+    """Round-2: MAX_FUSED_COLUMNS raised to 12 so 10-dim latent models
+    (lgssm_nd-sized) keep the single fused kernel."""
+
+    def setup_method(self):
+        resample_pallas.FORCE_INTERPRET = True
+
+    def teardown_method(self):
+        resample_pallas.FORCE_INTERPRET = False
+
+    def test_ten_column_fused_matches_xla(self):
+        key = jax.random.PRNGKey(0)
+        logw = jax.random.normal(key, (2, 512))
+        value = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 10))
+        idx, out = resampling.sample_ancestral_index_and_resample(
+            logw, jax.random.PRNGKey(2), value, implementation="pallas")
+        idx_x = resampling.sample_ancestral_index(
+            logw, jax.random.PRNGKey(2), implementation="xla")
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_x))
+        ref = jnp.take_along_axis(value, idx_x[:, :, None], axis=1)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
