@@ -200,6 +200,8 @@ def infer(inference_algorithm: str,
           resampling_implementation: str = "auto",
           resampling_criterion="always",
           soft_resampling_alpha: float = 0.5,
+          ot_epsilon: float = 0.5,
+          ot_num_iterations: int = 20,
           history_window: int = 1,
           nan_check: bool = False,
           remat: bool = False,
@@ -224,11 +226,16 @@ def infer(inference_algorithm: str,
         num_particles: number of particles K.
         key: JAX PRNG key (defaults to PRNGKey(0) for convenience).
         resampling_method: 'systematic' | 'stratified' | 'multinomial' |
-            'soft' (smc only; the reference is systematic-only). 'soft'
-            is differentiable resampling: ancestors from the tempered
-            mixture alpha*w + (1-alpha)/K with importance-corrected
-            next-step weights (see `soft_resampling_alpha`); at alpha=1
-            it coincides exactly with 'multinomial'.
+            'soft' | 'ot' (smc only; the reference is systematic-only).
+            'soft' is differentiable resampling: ancestors from the
+            tempered mixture alpha*w + (1-alpha)/K with
+            importance-corrected next-step weights (see
+            `soft_resampling_alpha`); at alpha=1 it coincides exactly
+            with 'multinomial'. 'ot' is differentiable
+            ensemble-transport resampling (entropy-regularized
+            Sinkhorn, see `ot_epsilon` / `ot_num_iterations`):
+            particles are transported rather than selected, so no
+            ancestors exist (lineage outputs unavailable).
         resampling_implementation: 'auto' | 'xla' | 'pallas', or a callable
             `(log_weight, key) -> indices` (e.g. a shard_map distributed
             resampler from `aesmc_tpu.parallel`).
@@ -313,6 +320,27 @@ def infer(inference_algorithm: str,
         raise ValueError(
             "soft resampling does not combine with ESS-adaptive "
             "criteria (resample-or-not is already softened)")
+    if resampling_method == "ot":
+        # Entropy-regularized ensemble-transport resampling (Corenflos
+        # et al. 2021): particles are TRANSPORTED, not selected, so
+        # there are no discrete ancestors - no lineage tracing, no
+        # ancestor outputs, no history buffers to regather.
+        if return_latents or return_ancestral_indices:
+            raise ValueError(
+                "resampling_method='ot' transports particles (no "
+                "discrete ancestors): lineage-traced latents and "
+                "ancestral indices are unavailable. Use "
+                "return_latents=False (training) or "
+                "return_original_latents=True.")
+        if history_window > 1:
+            raise ValueError(
+                "resampling_method='ot' does not combine with "
+                "history_window > 1 (no ancestors to regather the "
+                "history with)")
+        if resampling_criterion != "always":
+            raise ValueError(
+                "resampling_method='ot' does not combine with "
+                "ESS-adaptive criteria")
 
     stacked_obs = stack_observations(observations)
     obs_seq = ObservationSequence(stacked_obs)
@@ -507,7 +535,25 @@ def infer(inference_algorithm: str,
             prev_obs_list = [obs_prev]
             time = TimeIndex(t)
 
-            if is_smc and resampling_method == "soft":
+            if is_smc and resampling_method == "ot":
+                # Differentiable ensemble-transport resampling
+                # (entropy-regularized OT, Corenflos et al. 2021): the
+                # weighted ensemble is TRANSPORTED onto a uniform one
+                # (blocked online log-Sinkhorn, aesmc_tpu.ot - never
+                # materializes [B, K, K]); weights reset to uniform and
+                # gradients flow through both the transport plan and
+                # the particle values.
+                from . import ot as _ot
+
+                previous_latent, _ = _ot.ot_resample(
+                    prev_log_weight, prev_latent, epsilon=ot_epsilon,
+                    num_iterations=ot_num_iterations)
+                ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
+                contribution = (
+                    jax.nn.logsumexp(prev_log_weight, axis=1) -
+                    log_num_particles)
+                base = jnp.zeros_like(prev_log_weight)
+            elif is_smc and resampling_method == "soft":
                 # Differentiable soft resampling (Karkus et al. 2018):
                 # ancestors drawn from the tempered mixture, next-step
                 # weights start from the importance correction

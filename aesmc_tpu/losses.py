@@ -32,7 +32,8 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
              remat: bool = False,
              scan_unroll: int = 1,
              mesh=None, data_axis: str = "data",
-             particle_axis: str = "particle"):
+             particle_axis: str = "particle",
+             **infer_kwargs):
     """Scalar loss -mean(ELBO) for gradient descent.
 
     Args:
@@ -81,7 +82,8 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         return_original_latents=False,
         return_log_weight=False,
         return_log_weights=False,
-        return_ancestral_indices=False)
+        return_ancestral_indices=False,
+        **infer_kwargs)
     elbo = inference_result["log_marginal_likelihood"]
     return -jnp.mean(elbo)
 

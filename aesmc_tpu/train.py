@@ -60,7 +60,8 @@ def make_train_step(num_particles: int, algorithm: str,
                     scan_unroll: int = 1,
                     nan_check: bool = False,
                     with_metrics: bool = False,
-                    jit: bool = True) -> Callable:
+                    jit: bool = True,
+                    **loss_kwargs) -> Callable:
     """Builds `(components, opt_state, observations, key) ->
     (components, opt_state, loss[, metrics])` - one fused optimization
     step (loss + backward pass + optax update in a single XLA program).
@@ -88,7 +89,8 @@ def make_train_step(num_particles: int, algorithm: str,
                     resampling_method=resampling_method,
                     resampling_implementation=resampling_implementation,
                     resampling_criterion=resampling_criterion, remat=remat,
-                    scan_unroll=scan_unroll, nan_check=nan_check)
+                    scan_unroll=scan_unroll, nan_check=nan_check,
+                    **loss_kwargs)
                 return loss, metrics
             loss = losses.get_loss(
                 observations, num_particles, algorithm, initial, transition,
@@ -96,7 +98,8 @@ def make_train_step(num_particles: int, algorithm: str,
                 resampling_method=resampling_method,
                 resampling_implementation=resampling_implementation,
                 resampling_criterion=resampling_criterion, remat=remat,
-                scan_unroll=scan_unroll, nan_check=nan_check)
+                scan_unroll=scan_unroll, nan_check=nan_check,
+                **loss_kwargs)
             return loss, {}
 
         (loss, metrics), grads = jax.value_and_grad(

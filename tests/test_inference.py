@@ -569,3 +569,85 @@ class TestObservationSlicing:
         t = inference.TimeIndex(jnp.asarray(2))
         with pytest.raises(TypeError, match="Python-int bounds"):
             seq[:t]
+
+
+class TestOTResampling:
+    """Engine-integrated ensemble-transport resampling (method='ot',
+    round 2): particles transported by entropy-regularized Sinkhorn,
+    weights reset to uniform, gradients flow through the transport."""
+
+    def _components(self):
+        from aesmc_tpu.models import lgssm
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.3)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = statistics.sample_from_prior(initial, transition,
+                                              emission, 12, 4, KEY)
+        return obs, dict(initial=initial, transition=transition,
+                         emission=emission, proposal=proposal)
+
+    def test_estimator_close_to_exact_lml(self):
+        from aesmc_tpu.models import kalman
+        obs, comps = self._components()
+        obs_np = np.asarray(obs)
+        exact = np.array([
+            kalman.kalman_filter(
+                obs_np[:, b],
+                kalman.KalmanParams(0.0, 1.0, 0.9, 0.0, 1.0,
+                                    1.0, 0.0, 0.3 ** 2))[4]
+            for b in range(obs_np.shape[1])])
+        est = inference.infer(
+            "smc", obs, num_particles=1024, key=KEY,
+            resampling_method="ot", ot_epsilon=0.25,
+            ot_num_iterations=30,
+            return_log_marginal_likelihood=True, return_latents=False,
+            return_log_weight=False,
+            **comps)["log_marginal_likelihood"]
+        assert np.isfinite(np.asarray(est)).all()
+        # OT resampling is biased but consistent-ish; stay loose.
+        np.testing.assert_allclose(np.asarray(est), exact, rtol=0.10)
+
+    def test_gradients_flow_through_transport(self):
+        from aesmc_tpu import losses
+        obs, comps = self._components()
+
+        def loss_fn(tr):
+            return losses.get_loss(
+                obs, 32, "aesmc", comps["initial"], tr,
+                comps["emission"], comps["proposal"], key=KEY,
+                resampling_method="ot", ot_num_iterations=10)
+
+        g = jax.grad(loss_fn)(comps["transition"])
+        assert np.isfinite(float(g.mult))
+        assert abs(float(g.mult)) > 0
+
+    def test_invalid_combinations_raise(self):
+        obs, comps = self._components()
+        with pytest.raises(ValueError, match="transports particles"):
+            inference.infer("smc", obs, num_particles=8, key=KEY,
+                            resampling_method="ot", **comps)
+        with pytest.raises(ValueError, match="history_window"):
+            inference.infer("smc", obs, num_particles=8, key=KEY,
+                            resampling_method="ot", history_window=2,
+                            return_latents=False,
+                            return_log_weight=False,
+                            return_log_marginal_likelihood=True, **comps)
+        with pytest.raises(ValueError, match="ESS-adaptive"):
+            inference.infer("smc", obs, num_particles=8, key=KEY,
+                            resampling_method="ot",
+                            resampling_criterion=0.5,
+                            return_latents=False,
+                            return_log_weight=False,
+                            return_log_marginal_likelihood=True, **comps)
+
+    def test_original_latents_available(self):
+        obs, comps = self._components()
+        out = inference.infer(
+            "smc", obs, num_particles=16, key=KEY,
+            resampling_method="ot", ot_num_iterations=5,
+            return_latents=False, return_original_latents=True,
+            return_log_weight=True,
+            return_log_marginal_likelihood=True, **comps)
+        assert out["original_latents"].shape == (12, 4, 16)
+        assert np.isfinite(np.asarray(out["original_latents"])).all()
