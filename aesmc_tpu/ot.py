@@ -223,7 +223,9 @@ def ot_resample(log_weight, value, epsilon: float = 0.5,
     if block_size is None:
         k_total = jnp.shape(jax.tree_util.tree_leaves(value)[0])[1]
         if k_total > OT_DENSE_MAX_K:
-            block_size = 512
+            # Swept on v5e at K=16k: 512 -> 286 ms, 1024 -> 220,
+            # 2048 -> 206, 4096 -> 218 (benchmarks/BENCH_NOTES.md).
+            block_size = 2048
     if block_size is not None:
         return ot_resample_blocked(
             log_weight, value, epsilon=epsilon,
