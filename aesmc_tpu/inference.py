@@ -202,6 +202,7 @@ def infer(inference_algorithm: str,
           soft_resampling_alpha: float = 0.5,
           ot_epsilon: float = 0.5,
           ot_num_iterations: int = 20,
+          ot_block_size=None,
           history_window: int = 1,
           nan_check: bool = False,
           remat: bool = False,
@@ -320,11 +321,12 @@ def infer(inference_algorithm: str,
         raise ValueError(
             "soft resampling does not combine with ESS-adaptive "
             "criteria (resample-or-not is already softened)")
-    if resampling_method == "ot":
+    if resampling_method == "ot" and inference_algorithm == "smc":
         # Entropy-regularized ensemble-transport resampling (Corenflos
         # et al. 2021): particles are TRANSPORTED, not selected, so
         # there are no discrete ancestors - no lineage tracing, no
-        # ancestor outputs, no history buffers to regather.
+        # ancestor outputs, no history buffers to regather. (For 'is'
+        # the method is ignored, like every other resampling_method.)
         if return_latents or return_ancestral_indices:
             raise ValueError(
                 "resampling_method='ot' transports particles (no "
@@ -547,7 +549,8 @@ def infer(inference_algorithm: str,
 
                 previous_latent, _ = _ot.ot_resample(
                     prev_log_weight, prev_latent, epsilon=ot_epsilon,
-                    num_iterations=ot_num_iterations)
+                    num_iterations=ot_num_iterations,
+                    block_size=ot_block_size)
                 ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
                 contribution = (
                     jax.nn.logsumexp(prev_log_weight, axis=1) -

@@ -126,7 +126,13 @@ def gather_sorted_pallas(value, index, *, interpret: bool = False):
     # merge trip, one search shared by all D feature columns.
     from . import resample_pallas as _rp
 
-    if (k <= 2 ** 21 and _rp.AVAILABLE
+    # Cap the fused column count: the window kernel unrolls d columns
+    # W*W times per window (compile size; mirrors
+    # resampling.MAX_FUSED_COLUMNS). Wide latents and f64 inputs (the
+    # window kernel computes in f32; a gather must pass values through
+    # exactly) keep the per-feature-grid merge below.
+    if (k <= 2 ** 21 and d <= 12 and _rp.AVAILABLE
+            and value.dtype == jnp.float32
             and _rp.v5_fits(k, k, d, emit_idx=False)):
         cols = value.reshape(batch_size, k, d)
         cols = [cols[:, :, q].astype(jnp.float32) for q in range(d)]

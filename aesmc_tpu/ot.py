@@ -225,7 +225,11 @@ def ot_resample(log_weight, value, epsilon: float = 0.5,
         if k_total > OT_DENSE_MAX_K:
             # Swept on v5e at K=16k: 512 -> 286 ms, 1024 -> 220,
             # 2048 -> 206, 4096 -> 218 (benchmarks/BENCH_NOTES.md).
-            block_size = 2048
+            # The blocked scan needs block_size | K: pick the largest
+            # divisor <= 2048 (any K works; a prime K degrades to
+            # block 1 - pass an explicit block_size + padded K there).
+            block_size = max(d for d in range(1, min(2048, k_total) + 1)
+                             if k_total % d == 0)
     if block_size is not None:
         return ot_resample_blocked(
             log_weight, value, epsilon=epsilon,

@@ -466,18 +466,25 @@ def soft_indices_and_weights(log_weight, key, alpha: float = 0.5):
          corrected log-weights `[B, K]` - differentiable w.r.t. log_weight)
     """
     log_weight = jnp.asarray(log_weight)
+    log_w, log_q = _soft_tempered_log_weights(log_weight, alpha)
+    idx = multinomial_indices(jax.lax.stop_gradient(log_q), key)
+    log_w_sel = jnp.take_along_axis(log_w, idx, axis=1)
+    log_q_sel = jnp.take_along_axis(log_q, idx, axis=1)
+    return idx, log_w_sel - jax.lax.stop_gradient(log_q_sel)
+
+
+def _soft_tempered_log_weights(log_weight, alpha: float):
+    """(log_w, log_q) for soft resampling: normalized log-weights and
+    the tempered mixture q = alpha*w + (1-alpha)/K, all in log space
+    (underflowed weights would make log(w_sel) = -inf and its gradient
+    NaN)."""
     _, num_particles = log_weight.shape
-    # All in log space: underflowed weights (w == 0 in f32) would make
-    # log(w_sel) = -inf and its gradient NaN.
     log_w = amath.lognormexp(log_weight, dim=-1)
     log_q = jnp.logaddexp(
         jnp.log(alpha) + log_w,
         jnp.full_like(log_w, jnp.log((1.0 - alpha) / num_particles))
     ) if alpha < 1.0 else log_w
-    idx = multinomial_indices(jax.lax.stop_gradient(log_q), key)
-    log_w_sel = jnp.take_along_axis(log_w, idx, axis=1)
-    log_q_sel = jnp.take_along_axis(log_q, idx, axis=1)
-    return idx, log_w_sel - jax.lax.stop_gradient(log_q_sel)
+    return log_w, log_q
 
 
 def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
@@ -500,11 +507,8 @@ def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
     if implementation == "auto":
         implementation = _auto_implementation(log_weight, "multinomial")
 
-    log_w = amath.lognormexp(log_weight, dim=-1)
-    log_q = jnp.logaddexp(
-        jnp.log(alpha) + log_w,
-        jnp.full_like(log_w, jnp.log((1.0 - alpha) / num_particles))
-    ) if alpha < 1.0 else log_w
+    log_w, log_q = _soft_tempered_log_weights(log_weight, alpha)
+    lq_det = jax.lax.stop_gradient(log_q)
 
     if implementation == "pallas":
         columns, rebuild = _split_columns(value)
@@ -513,9 +517,9 @@ def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
                 and len(columns) + 2 <= MAX_FUSED_COLUMNS
                 and resample_pallas.v5_fits(num_particles, num_particles,
                                             len(columns) + 2)):
-            lq_det = jax.lax.stop_gradient(log_q)
-            # Same PRNG stream as multinomial_indices(log_q, key).
-            pos = _multinomial_positions(lq_det, key)
+            # Same PRNG stream AND the same strictly-below-1.0 clamp as
+            # multinomial_indices(log_q, key).
+            pos = resampling_positions(lq_det, key, "multinomial")
             idx, gathered = resample_pallas.resample_and_gather(
                 lq_det, pos, tuple(columns) + (log_w, log_q))
             val_cols = list(gathered[:-2])
@@ -523,7 +527,11 @@ def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
             corrected = log_w_sel - jax.lax.stop_gradient(log_q_sel)
             return idx, corrected, rebuild(val_cols)
 
-    idx, corrected = soft_indices_and_weights(log_weight, key, alpha)
+    # Unfused fallback, reusing the log_w/log_q computed above.
+    idx = multinomial_indices(lq_det, key)
+    log_w_sel = jnp.take_along_axis(log_w, idx, axis=1)
+    log_q_sel = jnp.take_along_axis(log_q, idx, axis=1)
+    corrected = log_w_sel - jax.lax.stop_gradient(log_q_sel)
     return idx, corrected, resample_particles(
         value, idx,
         implementation="pallas" if implementation == "pallas" else "xla")

@@ -137,13 +137,17 @@ class TestBlockedOT:
         assert temp < 2 * 1024 ** 3, f"temp bytes: {temp}"
 
     def test_auto_routing_threshold(self):
-        # K > OT_DENSE_MAX_K routes to the blocked path automatically:
-        # verify via the block-divisibility error of a non-multiple K.
-        k = ot.OT_DENSE_MAX_K + 512 + 1
+        # K > OT_DENSE_MAX_K routes to the blocked path automatically;
+        # the auto block size picks a DIVISOR of K, so awkward K works
+        # (round-2 review fix: 2048 blindly applied used to raise). An
+        # explicit non-divisor block still raises clearly.
+        k = ot.OT_DENSE_MAX_K + 512 + 1          # 4609 = 11 * 419
         logw = jnp.zeros((1, k))
-        x = jnp.zeros((1, k, 1))
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, k, 1))
+        t, _ = ot.ot_resample(logw, x, num_iterations=1)
+        assert bool(jnp.isfinite(t).all())
         with pytest.raises(ValueError, match="multiple of block_size"):
-            ot.ot_resample(logw, x, num_iterations=1)
+            ot.ot_resample(logw, x, num_iterations=1, block_size=2048)
 
     def test_uniform_weights_near_identity(self):
         # Uniform weights, tiny epsilon: transport ~ identity.
@@ -153,3 +157,14 @@ class TestBlockedOT:
                               num_iterations=100, block_size=128)
         err = float(jnp.max(jnp.abs(t - x)))
         assert err < 0.35, err
+
+
+def test_blocked_auto_handles_non_divisible_k():
+    """Round-2 review fix: auto block size must divide K (K=10000 is not
+    a multiple of the swept-optimal 2048; the auto picker now takes the
+    largest divisor <= 2048)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10000))
+    lw = jax.random.normal(jax.random.PRNGKey(1), (2, 10000))
+    out, new_lw = ot.ot_resample(lw, x, num_iterations=2)
+    assert bool(jnp.isfinite(out).all())
+    assert out.shape == x.shape and new_lw.shape == lw.shape

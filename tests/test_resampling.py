@@ -315,3 +315,24 @@ class TestMultiColumnFusedPath:
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_x))
         ref = jnp.take_along_axis(value, idx_x[:, :, None], axis=1)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fused_soft_positions_clamped_like_unfused():
+    """Round-2 review fix: the fused soft path must clamp its multinomial
+    positions strictly below 1.0 exactly like resampling_positions, or a
+    position rounding to 1.0 selects a zero-weight tail particle that
+    the unfused path does not (alpha=1, -inf weight tail)."""
+    resample_pallas.FORCE_INTERPRET = True
+    try:
+        lw = jax.random.normal(jax.random.PRNGKey(2), (2, 512))
+        lw = lw.at[:, -40:].set(-jnp.inf)
+        v = jax.random.normal(jax.random.PRNGKey(3), (2, 512))
+        kk = jax.random.PRNGKey(4)
+        i_f, c_f, _ = resampling.soft_resample_and_gather(
+            lw, kk, v, alpha=1.0, implementation="pallas")
+        i_u, c_u = resampling.soft_indices_and_weights(lw, kk, alpha=1.0)
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_u))
+        np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_u),
+                                   atol=1e-6)
+    finally:
+        resample_pallas.FORCE_INTERPRET = False
