@@ -131,6 +131,31 @@ class TestFusedGather:
             np.asarray(results["xla"]["latents"]),
             np.asarray(results["pallas"]["latents"]), atol=1e-5)
 
+    def test_engine_noidx_route_matches_xla(self):
+        """With no lineage/ancestor outputs requested, the pallas path
+        runs the v5 systematic kernel with emit_idx=False (the headline
+        bench configuration) - the log-ML must still match 'xla'."""
+        from aesmc_tpu import inference, statistics
+        from aesmc_tpu.models import lgssm
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.3)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = statistics.sample_from_prior(initial, transition,
+                                              emission, 8, 2, KEY)
+        results = {}
+        for impl in ("xla", "pallas"):
+            results[impl] = inference.infer(
+                "smc", obs, initial, transition, emission, proposal, 256,
+                key=KEY, resampling_implementation=impl,
+                return_log_marginal_likelihood=True,
+                return_latents=False, return_log_weight=False,
+                return_ancestral_indices=False)
+        np.testing.assert_allclose(
+            np.asarray(results["xla"]["log_marginal_likelihood"]),
+            np.asarray(results["pallas"]["log_marginal_likelihood"]),
+            rtol=2e-4)
+
 
 class TestLargeKPath:
     """K > MAX_KERNEL_PARTICLES: XLA CDF + chunked-position kernel with
