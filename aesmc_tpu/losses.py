@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from . import inference
 
-ALGORITHMS = ("iwae", "aesmc")
+ALGORITHMS = ("iwae", "aesmc", "tmc")
 
 
 def get_loss(observations, num_particles: int, algorithm: str, initial,
@@ -52,6 +52,18 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         scalar jnp array; differentiate with `jax.grad` /
         `jax.value_and_grad` w.r.t. the component pytrees.
     """
+    if algorithm == "tmc":
+        # Tensor Monte Carlo (aesmc_tpu.tmc): marginalizes all K^T
+        # particle paths by exp-matmul dynamic programming - fully
+        # differentiable, no resampling. resampling_* args are ignored.
+        # Always remat'd here (the backward would otherwise store T
+        # [B, K, K] transition tiles); call aesmc_tpu.tmc directly to
+        # control that.
+        from . import tmc as _tmc
+        return _tmc.tmc_loss(
+            observations, num_particles, initial, transition, emission,
+            proposal, key=key, remat=True,
+            scan_unroll=scan_unroll, **infer_kwargs)
     if algorithm == "iwae":
         inference_algorithm = "is"
     elif algorithm == "aesmc":

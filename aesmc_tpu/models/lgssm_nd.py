@@ -77,7 +77,7 @@ class Transition:
     def __call__(self, previous_latents=None, time=None,
                  previous_observations=None):
         prev = previous_latents[-1]                    # [B, K, D]
-        loc = jnp.einsum("bkd,ed->bke", prev, self.matrix)
+        loc = prev @ self.matrix.T
         return dists.MultivariateNormalDiag(
             loc, self.noise_scale.astype(loc.dtype) * jnp.ones_like(loc),
             batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
@@ -113,7 +113,7 @@ class Emission:
             else jnp.asarray(self.frozen_scale, jnp.result_type(float))
 
     def __call__(self, latents=None, time=None, previous_observations=None):
-        loc = jnp.einsum("bkd,ed->bke", latents[-1], self.matrix)
+        loc = latents[-1] @ self.matrix.T
         return dists.MultivariateNormalDiag(
             loc, self.noise_scale.astype(loc.dtype) * jnp.ones_like(loc),
             batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
@@ -158,7 +158,7 @@ class Proposal:
                 batch_shape_mode=BatchShapeMode.BATCH_EXPANDED)
         prev = previous_latents[-1]                   # [B, K, D]
         obs = observations[time]                      # [B, D_obs]
-        loc = (jnp.einsum("bkd,ed->bke", prev, self.w_prev) +
+        loc = (prev @ self.w_prev.T +
                jnp.einsum("bo,do->bd", obs, self.w_obs)[:, None, :] +
                self.bias)
         return dists.MultivariateNormalDiag(

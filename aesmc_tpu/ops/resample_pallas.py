@@ -826,7 +826,7 @@ def searchsorted_sorted_cdf_pallas(cdf, pos, values=(), *,
         # CDF/value columns exceed the double-buffered VMEM pipeline
         # budget: hand the kernel the whole arrays and let it DMA its
         # batch row into single-buffered scratch.
-        c_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        c_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         c_spec = pl.BlockSpec((rc, LANE), lambda b, c: (b, 0),
                               memory_space=pltpu.VMEM)

@@ -1,0 +1,167 @@
+"""Tensor Monte Carlo: marginalize over ALL K^T particle paths on the MXU.
+
+TMC (Aitchison, "Tensor Monte Carlo: particle methods for the GPU era",
+arXiv:1806.08593) replaces SMC's resampling with an exact dynamic
+program over every combination of particles across timesteps: with
+particles x_t^j ~ q_t(. | x_{t-1}^j, y_t) (same sampling pass as
+importance sampling - no resampling), the estimator
+
+    Z = K^{-T} sum_{k_0..k_{T-1}} prod_t
+        p(x_t^{k_t} | x_{t-1}^{k_{t-1}}) p(y_t | x_t^{k_t})
+        / q(x_t^{k_t} | x_{t-1}^{k_t})
+
+is computed in O(T K^2) by the forward recursion
+
+    f_0[j]   = log p(x_0^j) + log p(y_0|x_0^j) - log q(x_0^j)
+    f_t[j]   = LSE_i( f_{t-1}[i] + log p(x_t^j | x_{t-1}^i) ) - log K
+               + log p(y_t|x_t^j) - log q(x_t^j | x_{t-1}^j)
+    log Z    = LSE_j( f_{T-1}[j] ) - log K
+
+whose inner step is a stabilized exp-matmul (einsum 'bi,bij->bj') - a
+batched [K]x[K,K] product that lands on the MXU. Each of the K^T path
+terms is an unbiased estimator of the marginal likelihood (the parent-
+conditioned proposal integrates out exactly; verified symbolically for
+T=2 and by the Kalman-oracle tests), so Z is unbiased with far lower
+variance than IWAE's K paths - and, unlike SMC, the whole estimator is
+a smooth function of every input: NO resampling, NO discrete indices,
+gradients flow everywhere.
+
+This estimator has no counterpart in the reference package (a
+beyond-parity, TPU-first addition). Requirements on components beyond
+the standard contract: the TRANSITION must broadcast - it is called
+with previous latents shaped [B, K, 1, ...] and its distribution's
+log_prob evaluated at [B, 1, K, ...], so models whose transitions are
+arithmetic in the latent (LGSSM, lgssm_nd, stochastic volatility, ...)
+work unchanged, while per-particle neural transitions generally do not.
+Memory: one [B, K, K] tile per step (streamed under lax.scan, remat'd
+in the backward) - practical to K ~ 2000.
+"""
+
+from __future__ import annotations
+
+import math as _stdmath
+
+import jax
+import jax.numpy as jnp
+
+from . import state
+from .inference import (ObservationSequence, TimeIndex,
+                        stack_observations, _first_leaf)
+
+__all__ = ["tmc_log_marginal_likelihood", "tmc_loss"]
+
+
+def _expand_prev(latent):
+    """[B, K, ...] -> [B, K, 1, ...]: the 'i' (parent) axis."""
+    return jax.tree_util.tree_map(lambda x: x[:, :, None], latent)
+
+
+def _expand_new(latent):
+    """[B, K, ...] -> [B, 1, K, ...]: the 'j' (child) axis."""
+    return jax.tree_util.tree_map(lambda x: x[:, None, :], latent)
+
+
+def _pairwise_log_prob(distribution, value):
+    """log_prob summed over event dims, reduced to [B, K_i, K_j].
+
+    `distribution` was built from [B, K, 1, ...]-shaped parents and
+    `value` is [B, 1, K, ...]: the densities broadcast to
+    [B, K_i, K_j, ...]; trailing event dims are summed."""
+    if isinstance(distribution, dict):
+        total = None
+        for k, v in distribution.items():
+            lp = _pairwise_log_prob(v, value[k])
+            total = lp if total is None else total + lp
+        return total
+    lp = distribution.log_prob(jnp.asarray(value))
+    if lp.ndim > 3:
+        lp = jnp.sum(lp.reshape(lp.shape[:3] + (-1,)), axis=-1)
+    return lp
+
+
+def tmc_log_marginal_likelihood(observations, initial, transition,
+                                emission, proposal,
+                                num_particles: int, key=None,
+                                remat: bool = True,
+                                scan_unroll: int = 1,
+                                precision=jax.lax.Precision.HIGHEST):
+    """TMC estimate of log p(y_{0:T-1}), shape [batch].
+
+    Fully differentiable w.r.t. every component (reparameterized
+    proposal samples; no resampling anywhere). `remat=True` (default)
+    recomputes the per-step [B, K, K] transition tile in the backward
+    instead of storing T of them.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    stacked_obs = stack_observations(observations)
+    obs_seq = ObservationSequence(stacked_obs)
+    num_timesteps = len(obs_seq)
+    batch_size = _first_leaf(stacked_obs).shape[1]
+    k = num_particles
+    log_k = _stdmath.log(k)
+    step_keys = jax.random.split(key, (num_timesteps, 2))
+
+    # ---- t = 0 (hoisted: reference-style `if time == 0` works).
+    proposal_dist = proposal(time=0, observations=obs_seq)
+    latent_0 = state.sample(proposal_dist, batch_size, k,
+                            step_keys[0, 1])
+    f0 = (state.log_prob(initial(), latent_0) +
+          state.log_prob(emission(latents=[latent_0], time=0),
+                         state.expand_observation(obs_seq[0], k)) -
+          state.log_prob(proposal_dist, latent_0))          # [B, K]
+
+    if num_timesteps == 1:
+        return jax.nn.logsumexp(f0, axis=1) - log_k
+
+    def step(carry, inputs):
+        prev_latent, f = carry
+        obs_t, obs_prev, t, keys_t = inputs
+        time = TimeIndex(t)
+        prev_obs_list = [obs_prev]
+
+        proposal_dist = proposal(previous_latents=[prev_latent],
+                                 time=time, observations=obs_seq)
+        latent_t = state.sample(proposal_dist, batch_size, k, keys_t[1])
+        q_lp = state.log_prob(proposal_dist, latent_t)       # [B, K]
+        e_lp = state.log_prob(
+            emission(latents=[latent_t], time=time,
+                     previous_observations=prev_obs_list),
+            state.expand_observation(obs_t, k))              # [B, K]
+
+        # Pairwise transition tile A[b, i, j] = log p(x_t^j | x_{t-1}^i).
+        pair_dist = transition(
+            previous_latents=[_expand_prev(prev_latent)], time=time,
+            previous_observations=prev_obs_list)
+        a = _pairwise_log_prob(pair_dist, _expand_new(latent_t))
+
+        # f_j = LSE_i(f_i + A_ij) - log K + e_j - q_j, exp-matmul
+        # stabilized per batch row (c) and per child column (amax).
+        c = jnp.max(f, axis=1, keepdims=True)                # [B, 1]
+        amax = jnp.max(a, axis=1, keepdims=True)             # [B, 1, K]
+        g = jnp.exp(f - c)                                   # [B, K]
+        m = jnp.exp(a - amax)                                # [B, K, K]
+        # HIGHEST precision by default: v5e's single-pass f32 matmul
+        # accumulates at ~bf16 precision, and this product sits inside
+        # a log-domain recursion compounded over T steps.
+        s = jnp.einsum("bi,bij->bj", g, m, precision=precision)  # MXU
+        f_new = (c + amax[:, 0, :] + jnp.log(s) - log_k +
+                 e_lp - q_lp)
+        return (latent_t, f_new), None
+
+    body = jax.checkpoint(step) if remat else step
+    rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
+    prev_obs = jax.tree_util.tree_map(lambda x: x[:-1], stacked_obs)
+    times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
+    (_, f_last), _ = jax.lax.scan(
+        body, (latent_0, f0), (rest_obs, prev_obs, times, step_keys[1:]),
+        unroll=scan_unroll)
+    return jax.nn.logsumexp(f_last, axis=1) - log_k
+
+
+def tmc_loss(observations, num_particles: int, initial, transition,
+             emission, proposal, key=None, **kwargs):
+    """-mean(TMC log-ML estimate): the TMC training objective."""
+    return -jnp.mean(tmc_log_marginal_likelihood(
+        observations, initial, transition, emission, proposal,
+        num_particles, key=key, **kwargs))
