@@ -112,3 +112,21 @@ def test_training_moves_toward_truth():
     assert float(loss) < first
     # moved from 0.4 toward the true 0.9
     assert float(comps[1].mult) > 0.55, float(comps[1].mult)
+
+
+def test_stochastic_volatility_smoke():
+    """TMC on a NONLINEAR model: the SV transition is arithmetic in the
+    latent, so the pairwise broadcast works unchanged."""
+    from aesmc_tpu.models import stochastic_volatility as sv
+    initial, transition, emission, proposal = sv.make_model(
+        key=jax.random.PRNGKey(2))
+    _, obs = statistics.sample_from_prior(initial, transition, emission,
+                                          8, 2, KEY)
+    est = tmc.tmc_log_marginal_likelihood(
+        obs, initial, transition, emission, proposal, 64, key=KEY)
+    assert est.shape == (2,) and bool(jnp.isfinite(est).all())
+    g = jax.grad(lambda tr: float(0) + losses.get_loss(
+        obs, 32, "tmc", initial, tr, emission, proposal, key=KEY))(
+            transition)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
