@@ -40,7 +40,9 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         observations: list of `[batch, ...]` pytrees or stacked
             `[T, batch, ...]` pytree.
         num_particles: int.
-        algorithm: 'iwae' (IS estimator) or 'aesmc' (SMC estimator).
+        algorithm: 'iwae' (IS estimator), 'aesmc' (SMC estimator) or
+            'tmc' (Tensor Monte Carlo, aesmc_tpu.tmc - all-K^T-path
+            marginalization, fully differentiable).
         initial, transition, emission, proposal: user components (see
             `aesmc_tpu.inference`).
         key: PRNG key threading the sampling inside `infer`.
@@ -128,8 +130,18 @@ def get_loss_and_metrics(observations, num_particles: int, algorithm: str,
     - 'ess': mean effective sample size of the final particle weights
       (the reference exposes ess only as a library function,
       /root/reference/aesmc/statistics.py:79-104; here it's wired into
-      the training loop's observability).
+      the training loop's observability). For 'tmc' there are no
+      particle weights (no resampling); ess is reported as NaN.
     """
+    if algorithm == "tmc":
+        from . import tmc as _tmc
+        lml = _tmc.tmc_log_marginal_likelihood(
+            observations, initial, transition, emission, proposal,
+            num_particles, key=key, remat=True,
+            **{k: v for k, v in infer_kwargs.items()
+               if k in ("scan_unroll", "precision")})
+        elbo = jnp.mean(lml)
+        return -elbo, {"elbo": elbo, "ess": jnp.float32(jnp.nan)}
     if algorithm == "iwae":
         inference_algorithm = "is"
     elif algorithm == "aesmc":
