@@ -84,13 +84,16 @@ def tmc_log_marginal_likelihood(observations, initial, transition,
                                 num_particles: int, key=None,
                                 remat: bool = True,
                                 scan_unroll: int = 1,
-                                precision=jax.lax.Precision.HIGHEST):
+                                precision=jax.lax.Precision.HIGHEST,
+                                block_size=None):
     """TMC estimate of log p(y_{0:T-1}), shape [batch].
 
     Fully differentiable w.r.t. every component (reparameterized
     proposal samples; no resampling anywhere). `remat=True` (default)
     recomputes the per-step [B, K, K] transition tile in the backward
-    instead of storing T of them.
+    instead of storing T of them. `block_size` streams the child axis
+    in blocks (remat'd inner scan): live memory drops from O(K^2) to
+    O(K * block_size), extending TMC to K ~ 16k+; must divide K.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -129,24 +132,54 @@ def tmc_log_marginal_likelihood(observations, initial, transition,
                      previous_observations=prev_obs_list),
             state.expand_observation(obs_t, k))              # [B, K]
 
-        # Pairwise transition tile A[b, i, j] = log p(x_t^j | x_{t-1}^i).
+        # Pairwise transition tile A[b, i, j] = log p(x_t^j | x_{t-1}^i)
+        # (the distribution is built ONCE per step from the [B, K, 1]
+        # parents; only its log_prob is evaluated per child block).
         pair_dist = transition(
             previous_latents=[_expand_prev(prev_latent)], time=time,
             previous_observations=prev_obs_list)
-        a = _pairwise_log_prob(pair_dist, _expand_new(latent_t))
 
         # f_j = LSE_i(f_i + A_ij) - log K + e_j - q_j, exp-matmul
         # stabilized per batch row (c) and per child column (amax).
         c = jnp.max(f, axis=1, keepdims=True)                # [B, 1]
-        amax = jnp.max(a, axis=1, keepdims=True)             # [B, 1, K]
         g = jnp.exp(f - c)                                   # [B, K]
-        m = jnp.exp(a - amax)                                # [B, K, K]
-        # HIGHEST precision by default: v5e's single-pass f32 matmul
-        # accumulates at ~bf16 precision, and this product sits inside
-        # a log-domain recursion compounded over T steps.
-        s = jnp.einsum("bi,bij->bj", g, m, precision=precision)  # MXU
-        f_new = (c + amax[:, 0, :] + jnp.log(s) - log_k +
-                 e_lp - q_lp)
+
+        def pair_lse(latent_blk):
+            """c + LSE_i(f_i + A_i,blk) for a [B, blk, ...] child
+            block, via a stabilized exp-matmul (MXU). HIGHEST
+            precision by default: v5e's single-pass f32 matmul
+            accumulates at ~bf16, and this product sits inside a
+            log-domain recursion compounded over T steps."""
+            a = _pairwise_log_prob(pair_dist, _expand_new(latent_blk))
+            amax = jnp.max(a, axis=1, keepdims=True)         # [B,1,blk]
+            m = jnp.exp(a - amax)                            # [B,K,blk]
+            s = jnp.einsum("bi,bij->bj", g, m, precision=precision)
+            return c + amax[:, 0, :] + jnp.log(s)            # [B, blk]
+
+        if block_size is None or block_size >= k:
+            f_pair = pair_lse(latent_t)
+        else:
+            if k % block_size:
+                raise ValueError(
+                    f"block_size ({block_size}) must divide "
+                    f"num_particles ({k})")
+            nb = k // block_size
+
+            def to_blocks(x):
+                return jnp.moveaxis(
+                    x.reshape((batch_size, nb, block_size) +
+                              x.shape[2:]), 1, 0)
+
+            blocks = jax.tree_util.tree_map(to_blocks, latent_t)
+
+            def blk_body(carry, latent_blk):
+                return carry, pair_lse(latent_blk)
+
+            _, f_blocks = jax.lax.scan(jax.checkpoint(blk_body),
+                                       jnp.int32(0), blocks)
+            f_pair = jnp.moveaxis(f_blocks, 0, 1).reshape(
+                batch_size, k)
+        f_new = f_pair - log_k + e_lp - q_lp
         return (latent_t, f_new), None
 
     body = jax.checkpoint(step) if remat else step

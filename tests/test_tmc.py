@@ -130,3 +130,24 @@ def test_stochastic_volatility_smoke():
             transition)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_blocked_matches_full_bitwise():
+    obs, initial, transition, emission, proposal, _ = _problem(T=8)
+    k5 = jax.random.PRNGKey(5)
+    full = tmc.tmc_log_marginal_likelihood(
+        obs, initial, transition, emission, proposal, 128, key=k5)
+    blk = tmc.tmc_log_marginal_likelihood(
+        obs, initial, transition, emission, proposal, 128, key=k5,
+        block_size=32)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(blk))
+    g = jax.grad(lambda tr: float(0) + jnp.mean(
+        tmc.tmc_log_marginal_likelihood(
+            obs, initial, tr, emission, proposal, 128, key=k5,
+            block_size=32)))(transition)
+    assert np.isfinite(float(g.mult))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must divide"):
+        tmc.tmc_log_marginal_likelihood(
+            obs, initial, transition, emission, proposal, 100, key=k5,
+            block_size=33)
