@@ -19,6 +19,7 @@ from . import parallel
 from . import profiling
 from . import resampling
 from . import state
+from . import smoothing
 from . import tmc
 from . import statistics
 from . import train
