@@ -21,6 +21,11 @@ from . import inference
 
 ALGORITHMS = ("iwae", "aesmc", "tmc")
 
+# infer() kwargs that also apply to the TMC estimator; everything else
+# (resampling_*, soft/ot knobs, return_* flags) is resampling- or
+# engine-specific and deliberately ignored on the tmc path.
+_TMC_KWARGS = ("precision", "block_size")
+
 
 def get_loss(observations, num_particles: int, algorithm: str, initial,
              transition, emission, proposal, key=None,
@@ -64,8 +69,9 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         from . import tmc as _tmc
         return _tmc.tmc_loss(
             observations, num_particles, initial, transition, emission,
-            proposal, key=key, remat=True,
-            scan_unroll=scan_unroll, **infer_kwargs)
+            proposal, key=key, remat=True, scan_unroll=scan_unroll,
+            **{k: v for k, v in infer_kwargs.items()
+               if k in _TMC_KWARGS})
     if algorithm == "iwae":
         inference_algorithm = "is"
     elif algorithm == "aesmc":
@@ -139,7 +145,7 @@ def get_loss_and_metrics(observations, num_particles: int, algorithm: str,
             observations, initial, transition, emission, proposal,
             num_particles, key=key, remat=True,
             **{k: v for k, v in infer_kwargs.items()
-               if k in ("scan_unroll", "precision")})
+               if k in _TMC_KWARGS + ("scan_unroll",)})
         elbo = jnp.mean(lml)
         return -elbo, {"elbo": elbo, "ess": jnp.float32(jnp.nan)}
     if algorithm == "iwae":

@@ -26,7 +26,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from . import state
 from .inference import TimeIndex, stack_observations
 from .tmc import _expand_prev, _expand_new, _pairwise_log_prob
 

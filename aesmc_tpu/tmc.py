@@ -154,6 +154,13 @@ def tmc_log_marginal_likelihood(observations, initial, transition,
             amax = jnp.max(a, axis=1, keepdims=True)         # [B,1,blk]
             m = jnp.exp(a - amax)                            # [B,K,blk]
             s = jnp.einsum("bi,bij->bj", g, m, precision=precision)
+            # f and A are stabilized by SEPARATE maxes (that is what
+            # factors the sum into an MXU matvec); if they disagree by
+            # > ~100 nats for every parent of a child, s can flush to
+            # 0 even though the true LSE is finite. Floor it: the
+            # child's f then saturates at c + amax - 87 (a vanishing
+            # path weight) with a zero - not NaN - gradient.
+            s = jnp.maximum(s, jnp.finfo(s.dtype).tiny)
             return c + amax[:, 0, :] + jnp.log(s)            # [B, blk]
 
         if block_size is None or block_size >= k:
