@@ -57,7 +57,7 @@ def main():
         return transition(previous_latents=previous_latents)
 
     obs = jnp.asarray(observations, dtype=jnp.float32)[:, None]
-    fig, axs = plt.subplots(1, 2, figsize=(14, 5), sharey=True)
+    fig, axs = plt.subplots(1, 3, figsize=(20, 5), sharey=True)
     for ax, algorithm in zip(axs, ("is", "smc")):
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)
@@ -81,6 +81,32 @@ def main():
         ax.legend()
         print(f"{algorithm}: smoothed-mean RMSE vs exact Kalman = "
               f"{rmse:.3f}")
+    # ---- FFBS joint smoothing (aesmc_tpu.smoothing, beyond parity):
+    # backward-simulated trajectories instead of lineage tracing.
+    from aesmc_tpu import smoothing
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        filt = inference.infer(
+            "smc", obs, initial, transition, emission, proposal,
+            num_particles, key=jax.random.PRNGKey(1),
+            return_original_latents=True, return_log_weights=True,
+            return_latents=False, return_log_weight=False)
+    traj = smoothing.backward_simulation(
+        filt["original_latents"], filt["log_weights"], transition, 256,
+        jax.random.PRNGKey(7), observations=obs)
+    fmeans = np.asarray(jnp.mean(traj[:, 0], axis=-1))
+    fstds = np.asarray(jnp.std(traj[:, 0], axis=-1))
+    frmse = np.sqrt(np.mean((km - fmeans) ** 2))
+    ax = axs[2]
+    ax.plot(x, observations, color="black", lw=1, label="observations")
+    ax.plot(x, km, lw=1, label="kalman (RTS)")
+    ax.fill_between(x, km - np.sqrt(kv), km + np.sqrt(kv), alpha=0.2)
+    ax.plot(x, fmeans, ":", lw=1.5, label="ffbs")
+    ax.fill_between(x, fmeans - fstds, fmeans + fstds, alpha=0.2)
+    ax.set_title(f"FFBS (256 trajectories), RMSE vs RTS = {frmse:.2f}")
+    ax.legend()
+    print(f"ffbs: smoothing-mean RMSE vs exact RTS = {frmse:.3f}")
+
     out = pathlib.Path(__file__).parent / "plots" / "smc_vs_kalman.pdf"
     out.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(out, bbox_inches="tight")
