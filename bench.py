@@ -244,6 +244,21 @@ def main():
     log(f"AESMC train step T={T2} B={B2} K={K2}: {dt2*1e3:.2f} ms "
         f"(sustained) = {1/dt2:.1f} steps/s")
 
+    # ---- Tertiary: TMC train step (the beyond-parity all-K^T-path
+    # estimator, aesmc_tpu/tmc.py) at the same config.
+    step_tmc = atrain.make_train_step(K2, "tmc", optimizer, jit=False)
+    opt_state_tmc = optimizer.init(comps)
+
+    def tmc_chain(carry):
+        comps_, opt_state_, k = carry
+        k, sub = jax.random.split(k)
+        comps_, opt_state_, _ = step_tmc(comps_, opt_state_, obs2, sub)
+        return comps_, opt_state_, k
+
+    dt3 = timed_chained(tmc_chain, (comps, opt_state_tmc, key))
+    log(f"TMC train step T={T2} B={B2} K={K2}: {dt3*1e3:.2f} ms "
+        f"(sustained) = {1/dt3:.1f} steps/s")
+
     vs_baseline = None
     if BASELINE_FILE.exists():
         baseline = json.loads(BASELINE_FILE.read_text())
@@ -264,6 +279,7 @@ def main():
         "unit": "particle-steps/s",
         "vs_baseline": vs_baseline,
         "train_steps_per_sec": 1 / dt2,
+        "tmc_train_steps_per_sec": 1 / dt3,
         "kernel_verify_ok": verify_ok,
     }))
 
