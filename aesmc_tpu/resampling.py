@@ -28,7 +28,6 @@ the weights via a score-function correction on the gathered particles).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -74,3 +74,24 @@ def test_backward_segment_assignment_exact(seed, batch, k, scale,
         gr, ir, num_segments=k))(g, idx)
     (got,) = rp.gather_backward_pallas(cdf, pos, [g])
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("kc,kp", [(2048, 512), (512, 2048), (1024, 1024)])
+def test_sorted_mode_uneven_lengths(kc, kp):
+    """The distributed resampler searches a GLOBAL CDF (length kc) with
+    a shard-local position grid (length kp != kc): the v5 sorted kernel
+    must match XLA for any length pair."""
+    rng = np.random.default_rng(kc + kp)
+    logw = jnp.asarray(rng.normal(size=(2, kc)) * 2.0, jnp.float32)
+    cdf = R._normalized_cumsum(logw)
+    v = jnp.asarray(rng.normal(size=(2, kc)), jnp.float32)
+    u = jnp.asarray(rng.uniform(size=(2, 1)), jnp.float32)
+    pos = jnp.minimum((u + jnp.arange(kp, dtype=jnp.float32)) / kp,
+                      jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+    idx_ref = jnp.clip(jax.vmap(lambda c, p: jnp.searchsorted(
+        c, p, side="right"))(cdf, pos), 0, kc - 1)
+    g_ref = jnp.take_along_axis(v, idx_ref, axis=1)
+    idx, (g,) = rp.sorted_search_gather_pallas(cdf, pos, (v,),
+                                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
