@@ -593,11 +593,15 @@ def infer(inference_algorithm: str,
             elif is_smc:
                 # Adaptive: per-batch-row decision - resample only rows
                 # whose ESS fell below the threshold; others carry
-                # accumulated weights and keep identity ancestry.
-                sampled = resampling.sample_ancestral_index(
-                    prev_log_weight, keys_t[0],
-                    method=resampling_method,
-                    implementation=resolved_impl)
+                # accumulated weights and keep identity ancestry. The
+                # indices AND the gather run as ONE fused kernel (same
+                # as the non-adaptive path); rows that keep their
+                # particles select them back per row afterwards.
+                sampled, resampled = \
+                    resampling.sample_ancestral_index_and_resample(
+                        prev_log_weight, keys_t[0], prev_latent,
+                        method=resampling_method,
+                        implementation=resolved_impl)
                 ess = jnp.exp(
                     2 * jax.nn.logsumexp(prev_log_weight, axis=1) -
                     jax.nn.logsumexp(2 * prev_log_weight, axis=1))
@@ -614,9 +618,14 @@ def infer(inference_algorithm: str,
                 base = jnp.where(do[:, None],
                                  jnp.zeros_like(prev_log_weight),
                                  prev_log_weight)
-                previous_latent = resampling.resample_particles(
-                    prev_latent, ancestral_index,
-                    implementation=resolved_impl)
+
+                def select(res, orig):
+                    res = jnp.asarray(res)
+                    keep = do.reshape((-1,) + (1,) * (res.ndim - 1))
+                    return jnp.where(keep, res, jnp.asarray(orig))
+
+                previous_latent = jax.tree_util.tree_map(
+                    select, resampled, prev_latent)
             else:
                 ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
                 contribution = jnp.zeros((batch_size,),
