@@ -286,7 +286,12 @@ def resolve_implementation(shape, method: str, implementation) -> str:
     # Soft resampling draws multinomially from the tempered mixture; its
     # fused path shares the multinomial kernel route.
     method = "multinomial" if method == "soft" else method
-    if on_tpu and method in METHODS and shape[-1] >= 4096:
+    # Crossover measured on v5e end of round 2 (train step, T=200 B=10):
+    # dense one-hot wins at K<=256 (10-13 ms vs pallas's ~18 ms fixed
+    # cost), pallas from K=512 up (512: 18.9 vs 20.0; 1024: 26 vs 47;
+    # 2048: 36 vs 102). Was 4096 in round 1, when the v1 kernel's
+    # custom_vjp hit a JAX 0.9.0 MLIR bug below that (resolved by v5).
+    if on_tpu and method in METHODS and shape[-1] >= 512:
         try:
             from .ops import resample_pallas
             if resample_pallas.AVAILABLE and \
