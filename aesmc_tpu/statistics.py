@@ -57,6 +57,22 @@ def empirical_variance(value, log_weight):
         empirical_mean(value, log_weight) ** 2
 
 
+def empirical_mean_sequence(values, log_weight):
+    """Per-timestep weighted means for a STACKED `[T, batch, particle,
+    ...]` pytree (e.g. `infer(...)["latents"]`) under one `[batch,
+    particle]` weight array -> `[T, batch, ...]`. Convenience vmap of
+    `empirical_mean` over the leading time axis."""
+    return jax.vmap(empirical_mean, in_axes=(0, None))(values,
+                                                       log_weight)
+
+
+def empirical_variance_sequence(values, log_weight):
+    """Per-timestep weighted variances for a stacked sequence ->
+    `[T, batch, ...]` (see `empirical_mean_sequence`)."""
+    return jax.vmap(empirical_variance, in_axes=(0, None))(values,
+                                                           log_weight)
+
+
 def log_ess(log_weight):
     """log ESS = 2*logsumexp(logw) - logsumexp(2*logw).
 

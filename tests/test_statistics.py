@@ -131,3 +131,21 @@ class TestSampleFromPrior:
             np.testing.assert_allclose(latents[t].mean(), 0.0,
                                        atol=5 * np.sqrt(v / B))
             np.testing.assert_allclose(latents[t].var(), v, rtol=0.1)
+
+
+def test_sequence_statistics_match_per_step():
+    key = jax.random.PRNGKey(0)
+    vals = jax.random.normal(key, (5, 2, 64))
+    logw = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    ms = statistics.empirical_mean_sequence(vals, logw)
+    vs = statistics.empirical_variance_sequence(vals, logw)
+    assert ms.shape == (5, 2) and vs.shape == (5, 2)
+    for t in range(5):
+        np.testing.assert_allclose(
+            np.asarray(ms[t]),
+            np.asarray(statistics.empirical_mean(vals[t], logw)),
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(vs[t]),
+            np.asarray(statistics.empirical_variance(vals[t], logw)),
+            rtol=1e-5, atol=1e-6)
