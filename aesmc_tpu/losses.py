@@ -67,11 +67,22 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         # [B, K, K] transition tiles); call aesmc_tpu.tmc directly to
         # control that.
         from . import tmc as _tmc
-        return _tmc.tmc_loss(
+        loss = _tmc.tmc_loss(
             observations, num_particles, initial, transition, emission,
             proposal, key=key, remat=True, scan_unroll=scan_unroll,
             **{k: v for k, v in infer_kwargs.items()
                if k in _TMC_KWARGS})
+        if nan_check:
+            # TMC has no resampling step to guard, so the equivalent of
+            # the reference's per-resample NaN check
+            # (/root/reference/aesmc/inference.py:244-245) is one check
+            # on the final estimate: any NaN in the per-step
+            # log-weights propagates to the loss through the
+            # exp-matmul DP.
+            from jax.experimental import checkify
+            checkify.check(jnp.logical_not(jnp.isnan(loss)),
+                           "tmc loss is nan")
+        return loss
     if algorithm == "iwae":
         inference_algorithm = "is"
     elif algorithm == "aesmc":

@@ -410,8 +410,10 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum):
             vout_refs = outs
 
         rc = cdf_ref.shape[0]
-        n_tiles_p = vout_refs[0].shape[0] // w_tile if num_values \
-            else idx_ref.shape[0] // w_tile
+        # starts_ref always exists (unlike idx_ref/vout_refs, which
+        # depend on emit_idx/num_values) and has one entry per position
+        # tile.
+        n_tiles_p = starts_ref.shape[-1]
         tile_k = w_tile * LANE
         if systematic:
             kf = jnp.float32(kp_real)
@@ -1093,7 +1095,13 @@ resample_and_gather_cdf.defvjp(_rgc_fwd, _rgc_bwd)
 
 
 def _systematic_positions(u, kp: int):
-    """The XLA systematic grid the v5 kernel reproduces in-kernel."""
+    """The XLA systematic grid the v5 kernel reproduces in-kernel.
+
+    `u` is cast to f32 FIRST: under jax_enable_x64 an f64 `u` would
+    compute f64 positions that, rounded back, can differ by 1 ulp from
+    the kernel's f32 forward grid, crediting a bin-edge cotangent to
+    the neighboring source in the backward."""
+    u = jnp.asarray(u, jnp.float32)
     pos = (u + jnp.arange(kp, dtype=jnp.float32)) / kp
     return jnp.minimum(pos, jnp.float32(_BELOW_ONE))
 

@@ -230,6 +230,17 @@ def ot_resample(log_weight, value, epsilon: float = 0.5,
             # block 1 - pass an explicit block_size + padded K there).
             block_size = max(d for d in range(1, min(2048, k_total) + 1)
                              if k_total % d == 0)
+            if block_size < 256:
+                import warnings
+                warnings.warn(
+                    f"ot_resample: K={k_total} has no divisor in "
+                    f"[256, 2048] - auto block_size degraded to "
+                    f"{block_size}, turning the blocked Sinkhorn scan "
+                    f"into ~{k_total // block_size} sequential steps. "
+                    f"Pad K to a multiple of 2048 (with -inf "
+                    f"log-weights on the padding) or pass an explicit "
+                    f"block_size.",
+                    RuntimeWarning, stacklevel=2)
     if block_size is not None:
         return ot_resample_blocked(
             log_weight, value, epsilon=epsilon,

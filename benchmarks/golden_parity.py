@@ -258,6 +258,119 @@ def run_reference(algorithm, obs, eps, uniforms):  # noqa: C901
     return lml, log_weights, anc
 
 
+def run_t1_gaussian():
+    """Second matched-noise config: the conjugate Gaussian at T=1 (the
+    reference's test/models/gaussian.py setting), guarding the hoisted
+    t=0 path end to end. At T=1 there is no resampling and the IWAE and
+    AESMC estimators coincide EXACTLY (both reduce to
+    logsumexp_k(log w_0) - log K); the harness asserts that identity on
+    both sides as well as cross-implementation agreement."""
+    b, k = 17, 64
+    mu0, sig0 = 0.3, 1.2          # prior N(mu0, sig0)
+    sige = 0.7                    # emission N(x, sige)
+    a0, b0, s0 = 0.45, -0.2, 0.8  # proposal N(a0*y + b0, s0)
+    rng = np.random.RandomState(SEED + 1)
+    obs = rng.randn(1, b)
+    key = jax.random.PRNGKey(11)
+
+    from aesmc_tpu import distributions as dists
+    from aesmc_tpu import inference
+    from aesmc_tpu.state import BatchShapeMode
+
+    class Initial:
+        def __call__(self):
+            return dists.Normal(mu0, sig0)
+
+    class Emission:
+        def __call__(self, latents=None, time=None,
+                     previous_observations=None):
+            return dists.Normal(
+                latents[-1], sige,
+                batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
+
+    class Proposal:
+        def __call__(self, previous_latents=None, time=None,
+                     observations=None):
+            return dists.Normal(
+                a0 * observations[0] + b0, s0,
+                batch_shape_mode=BatchShapeMode.BATCH_EXPANDED)
+
+    lml_jax = {}
+    orig = None
+    for algorithm in ("is", "smc"):
+        out = inference.infer(
+            algorithm, jnp.asarray(obs), Initial(), None, Emission(),
+            Proposal(), k, key=key,
+            return_log_marginal_likelihood=True, return_latents=True,
+            return_log_weight=False)
+        lml_jax[algorithm] = np.asarray(out["log_marginal_likelihood"])
+        orig = np.asarray(out["latents"])[0]                 # [B, K]
+
+    # Noise extraction (one reparameterized step) + torch replay.
+    loc0 = a0 * obs[0] + b0                                  # [B]
+    eps = (orig - loc0[:, None]) / s0                        # [B, K]
+
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    import aesmc.inference as ref_inference
+    import aesmc.state as ref_state
+
+    torch.set_default_dtype(torch.float64)
+
+    class RInitial:
+        def __call__(self):
+            return torch.distributions.Normal(
+                torch.tensor(mu0), torch.tensor(sig0))
+
+    class REmission:
+        def __call__(self, latents=None, time=None,
+                     previous_observations=None):
+            return ref_state.set_batch_shape_mode(
+                torch.distributions.Normal(
+                    latents[-1], torch.tensor(sige)),
+                ref_state.BatchShapeMode.FULLY_EXPANDED)
+
+    lml_ref = {}
+    for algorithm in ("is", "smc"):
+        eps_queue = [torch.from_numpy(eps.copy())]
+
+        class InjectedNormal(torch.distributions.Normal):
+            def rsample(self, sample_shape=torch.Size()):
+                assert sample_shape == torch.Size(()), sample_shape
+                return self.loc + self.scale * eps_queue.pop(0)
+
+        class RProposal:
+            def __call__(self, previous_latents=None, time=None,
+                         observations=None):
+                loc = (a0 * observations[0] + b0).unsqueeze(-1) \
+                    .expand(b, k)
+                return ref_state.set_batch_shape_mode(
+                    InjectedNormal(loc, torch.tensor(s0)),
+                    ref_state.BatchShapeMode.FULLY_EXPANDED)
+
+        with torch.no_grad():
+            out = ref_inference.infer(
+                algorithm, [torch.from_numpy(obs[0])], RInitial(), None,
+                REmission(), RProposal(), k,
+                return_log_marginal_likelihood=True,
+                return_latents=False, return_log_weight=False)
+        assert not eps_queue, "injected noise not consumed"
+        lml_ref[algorithm] = out["log_marginal_likelihood"].numpy()
+
+    dev = max(float(np.max(np.abs(lml_jax[a] - lml_ref[a])))
+              for a in ("is", "smc"))
+    est_gap_jax = float(np.max(np.abs(lml_jax["is"] - lml_jax["smc"])))
+    est_gap_ref = float(np.max(np.abs(lml_ref["is"] - lml_ref["smc"])))
+    entry = {"log_ml_max_abs_dev": dev,
+             "iwae_aesmc_gap_jax": est_gap_jax,
+             "iwae_aesmc_gap_ref": est_gap_ref,
+             "ok": dev < 1e-6 and est_gap_jax < 1e-12
+                   and est_gap_ref < 1e-12}
+    print(f"t1_gaussian: {entry}", file=sys.stderr)
+    return entry
+
+
 def main():
     rng = np.random.RandomState(SEED)
     obs = rng.randn(T, B)
@@ -282,6 +395,9 @@ def main():
         report[algorithm] = entry
         report["ok"] = report["ok"] and ok
         print(f"{algorithm}: {entry}", file=sys.stderr)
+
+    report["t1_gaussian"] = run_t1_gaussian()
+    report["ok"] = report["ok"] and report["t1_gaussian"]["ok"]
 
     print(json.dumps(report))
     return 0 if report["ok"] else 1

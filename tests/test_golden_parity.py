@@ -45,3 +45,9 @@ def test_golden_matched_noise_parity():
         assert entry["log_ml_max_abs_dev"] < 1e-6, entry
         assert entry["log_weights_max_abs_dev"] < 1e-6, entry
     assert report["smc"]["ancestor_index_mismatches"] == 0
+    # Second config: conjugate Gaussian at T=1 (hoisted-t=0 path), where
+    # IWAE == AESMC exactly on both sides.
+    t1 = report["t1_gaussian"]
+    assert t1["log_ml_max_abs_dev"] < 1e-6, t1
+    assert t1["iwae_aesmc_gap_jax"] < 1e-12, t1
+    assert t1["iwae_aesmc_gap_ref"] < 1e-12, t1
