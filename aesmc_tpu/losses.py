@@ -24,7 +24,7 @@ ALGORITHMS = ("iwae", "aesmc", "tmc")
 # infer() kwargs that also apply to the TMC estimator; everything else
 # (resampling_*, soft/ot knobs, return_* flags) is resampling- or
 # engine-specific and deliberately ignored on the tmc path.
-_TMC_KWARGS = ("precision", "block_size")
+_TMC_KWARGS = ("precision", "block_size", "pairwise")
 
 
 def get_loss(observations, num_particles: int, algorithm: str, initial,

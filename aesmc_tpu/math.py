@@ -61,7 +61,14 @@ def distributed_logsumexp(values, axis_name: str, axis: int | None = None):
         local_max = jnp.max(values, axis=axis, keepdims=True)
     else:
         local_max = values
-    global_max = jax.lax.pmax(local_max, axis_name)
+    # stop_gradient on the max shift, as jax.nn.logsumexp does: the max's
+    # cotangent contributions cancel analytically, and lax.pmax has no
+    # differentiation rule anyway (the distributed soft resampler
+    # differentiates through this function).
+    # (stop_gradient goes on pmax's INPUT: a JVP tracer reaching pmax
+    # would need the differentiation rule even if the output were
+    # detached.)
+    global_max = jax.lax.pmax(jax.lax.stop_gradient(local_max), axis_name)
     # Guard against -inf - -inf = nan when a shard is all -inf.
     safe_max = jnp.where(jnp.isneginf(global_max), 0.0, global_max)
     shifted = jnp.exp(values - safe_max)

@@ -101,10 +101,12 @@ class Emission:
 
     @classmethod
     def create(cls, key=None, noise=0.05, hidden=64,
-               num_pixels=NUM_PIXELS, use_decoder=True):
+               num_pixels=NUM_PIXELS, use_decoder=True,
+               compute_dtype=None):
         if key is None:
             key = jax.random.PRNGKey(0)
-        decoder = MLP.create((2, hidden, num_pixels), key)
+        decoder = MLP.create((2, hidden, num_pixels), key,
+                             compute_dtype=compute_dtype)
         # Zero the output layer: the decoder starts as a no-op residual.
         decoder = decoder.replace(weights=(
             decoder.weights[0], jnp.zeros_like(decoder.weights[1])))
@@ -134,12 +136,15 @@ class Proposal:
     encoder_t: Any                   # MLP [2 + P -> hidden -> 4]
 
     @classmethod
-    def create(cls, key=None, hidden=64, num_pixels=NUM_PIXELS):
+    def create(cls, key=None, hidden=64, num_pixels=NUM_PIXELS,
+               compute_dtype=None):
         if key is None:
             key = jax.random.PRNGKey(0)
         k0, kt = jax.random.split(key)
-        return cls(encoder_0=MLP.create((num_pixels, hidden, 4), k0),
-                   encoder_t=MLP.create((2 + num_pixels, hidden, 4), kt))
+        return cls(encoder_0=MLP.create((num_pixels, hidden, 4), k0,
+                                        compute_dtype=compute_dtype),
+                   encoder_t=MLP.create((2 + num_pixels, hidden, 4), kt,
+                                        compute_dtype=compute_dtype))
 
     @staticmethod
     def _dist(out, mode):
@@ -162,11 +167,16 @@ class Proposal:
                           BatchShapeMode.FULLY_EXPANDED)
 
 
-def make_model(key=None, num_pixels: int = NUM_PIXELS, hidden: int = 64):
+def make_model(key=None, num_pixels: int = NUM_PIXELS, hidden: int = 64,
+               compute_dtype=None):
+    """`compute_dtype='bfloat16'`: bf16 MLP matmul inputs with f32 MXU
+    accumulation (f32 params; weight/CDF arithmetic stays f32)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     ke, kp = jax.random.split(key)
     return (Initial(),
             Transition.create(),
-            Emission.create(ke, num_pixels=num_pixels, hidden=hidden),
-            Proposal.create(kp, hidden=hidden, num_pixels=num_pixels))
+            Emission.create(ke, num_pixels=num_pixels, hidden=hidden,
+                            compute_dtype=compute_dtype),
+            Proposal.create(kp, hidden=hidden, num_pixels=num_pixels,
+                            compute_dtype=compute_dtype))

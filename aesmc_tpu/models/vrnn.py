@@ -35,20 +35,27 @@ from flax import struct
 from .. import distributions as dists
 from .. import losses as alosses
 from ..state import BatchShapeMode
-from ..utils import MLP
+from ..utils import MLP, mixed_dot
 
 
 @struct.dataclass
 class GRUCell:
-    """Minimal GRU as a pytree; input [.., I], hidden [.., H]."""
+    """Minimal GRU as a pytree; input [.., I], hidden [.., H].
+
+    `compute_dtype` mirrors `utils.MLP`: bf16 matmul inputs with f32 MXU
+    accumulation, f32 params/gates/state (the mixed-precision lever for
+    the deep models; weight arithmetic downstream never sees bf16)."""
 
     w_ru: Any   # [I + H, 2H] reset/update gates
     b_ru: Any   # [2H]
     w_c: Any    # [I + H, H] candidate
     b_c: Any    # [H]
+    compute_dtype: Optional[str] = struct.field(pytree_node=False,
+                                                default=None)
 
     @classmethod
-    def create(cls, input_dim: int, hidden_dim: int, key):
+    def create(cls, input_dim: int, hidden_dim: int, key,
+               compute_dtype: Optional[str] = None):
         k1, k2 = jax.random.split(key)
         s = 1.0 / jnp.sqrt(input_dim + hidden_dim)
         return cls(
@@ -58,15 +65,18 @@ class GRUCell:
             b_ru=jnp.zeros((2 * hidden_dim,)),
             w_c=jax.random.uniform(k2, (input_dim + hidden_dim, hidden_dim),
                                    minval=-s, maxval=s),
-            b_c=jnp.zeros((hidden_dim,)))
+            b_c=jnp.zeros((hidden_dim,)),
+            compute_dtype=compute_dtype)
 
     def __call__(self, h, x):
         hidden_dim = h.shape[-1]
         hx = jnp.concatenate([x, h], axis=-1)
-        ru = jax.nn.sigmoid(jnp.dot(hx, self.w_ru) + self.b_ru)
+        ru = jax.nn.sigmoid(
+            mixed_dot(hx, self.w_ru, self.compute_dtype) + self.b_ru)
         r, u = ru[..., :hidden_dim], ru[..., hidden_dim:]
         hx_r = jnp.concatenate([x, r * h], axis=-1)
-        c = jnp.tanh(jnp.dot(hx_r, self.w_c) + self.b_c)
+        c = jnp.tanh(
+            mixed_dot(hx_r, self.w_c, self.compute_dtype) + self.b_c)
         return (1.0 - u) * h + u * c
 
 
@@ -78,8 +88,10 @@ class Encoder:
     hidden_dim: int = struct.field(pytree_node=False)
 
     @classmethod
-    def create(cls, obs_dim: int, hidden_dim: int, key):
-        return cls(cell=GRUCell.create(obs_dim, hidden_dim, key),
+    def create(cls, obs_dim: int, hidden_dim: int, key,
+               compute_dtype: Optional[str] = None):
+        return cls(cell=GRUCell.create(obs_dim, hidden_dim, key,
+                                       compute_dtype=compute_dtype),
                    hidden_dim=hidden_dim)
 
     def initial_state(self, batch_size: int):
@@ -120,9 +132,11 @@ class Transition:
     h_seq: Optional[Any] = None   # [T, B, H], bound per batch
 
     @classmethod
-    def create(cls, latent_dim, hidden_dim, key, mlp_hidden=32):
+    def create(cls, latent_dim, hidden_dim, key, mlp_hidden=32,
+               compute_dtype: Optional[str] = None):
         return cls(prior_net=MLP.create(
-            (latent_dim + hidden_dim, mlp_hidden, 2 * latent_dim), key))
+            (latent_dim + hidden_dim, mlp_hidden, 2 * latent_dim), key,
+            compute_dtype=compute_dtype))
 
     def __call__(self, previous_latents=None, time=None,
                  previous_observations=None):
@@ -144,10 +158,11 @@ class Emission:
 
     @classmethod
     def create(cls, latent_dim, hidden_dim, obs_dim, key, mlp_hidden=32,
-               noise=0.1):
+               noise=0.1, compute_dtype: Optional[str] = None):
         import numpy as np
         return cls(decoder=MLP.create(
-            (latent_dim + hidden_dim, mlp_hidden, obs_dim), key),
+            (latent_dim + hidden_dim, mlp_hidden, obs_dim), key,
+            compute_dtype=compute_dtype),
             log_noise=jnp.asarray(float(np.log(noise))))
 
     def __call__(self, latents=None, time=None, previous_observations=None):
@@ -167,9 +182,11 @@ class Proposal:
     h_seq: Optional[Any] = None
 
     @classmethod
-    def create(cls, latent_dim, hidden_dim, obs_dim, key, mlp_hidden=32):
+    def create(cls, latent_dim, hidden_dim, obs_dim, key, mlp_hidden=32,
+               compute_dtype: Optional[str] = None):
         return cls(encoder_net=MLP.create(
-            (hidden_dim + obs_dim, mlp_hidden, 2 * latent_dim), key))
+            (hidden_dim + obs_dim, mlp_hidden, 2 * latent_dim), key,
+            compute_dtype=compute_dtype))
 
     def __call__(self, previous_latents=None, time=None, observations=None):
         y = observations[time]                        # [B, D_obs]
@@ -239,14 +256,21 @@ def generate(encoder, initial, transition, emission, num_timesteps,
 
 
 def make_model(latent_dim=4, hidden_dim=16, obs_dim=8, key=None,
-               mlp_hidden=32, noise=0.1):
+               mlp_hidden=32, noise=0.1, compute_dtype=None):
+    """`compute_dtype='bfloat16'` runs every GRU/MLP matmul with bf16
+    inputs + f32 MXU accumulation (f32 params; log-weight arithmetic
+    stays f32) - the standard TPU lever for these model-compute-bound
+    workloads."""
     if key is None:
         key = jax.random.PRNGKey(0)
     kg, kt, ke, kp = jax.random.split(key, 4)
     return (Initial(latent_dim),
-            Encoder.create(obs_dim, hidden_dim, kg),
-            Transition.create(latent_dim, hidden_dim, kt, mlp_hidden),
+            Encoder.create(obs_dim, hidden_dim, kg,
+                           compute_dtype=compute_dtype),
+            Transition.create(latent_dim, hidden_dim, kt, mlp_hidden,
+                              compute_dtype=compute_dtype),
             Emission.create(latent_dim, hidden_dim, obs_dim, ke,
-                            mlp_hidden, noise),
+                            mlp_hidden, noise,
+                            compute_dtype=compute_dtype),
             Proposal.create(latent_dim, hidden_dim, obs_dim, kp,
-                            mlp_hidden))
+                            mlp_hidden, compute_dtype=compute_dtype))

@@ -9,20 +9,26 @@ state sharded across chips.
 
 from .mesh import make_mesh, data_particle_specs
 from .dist_resampling import (
+    make_distributed_resampler,
     make_distributed_systematic_resampler,
     make_distributed_fused_resampler,
+    distributed_resampling_indices,
     distributed_systematic_indices,
     distributed_systematic_resample,
     distributed_systematic_resample_streaming,
+    distributed_soft_resample,
 )
 from .sharded import make_sharded_train_step, shard_batch
 
 __all__ = [
     "make_mesh", "data_particle_specs",
+    "make_distributed_resampler",
     "make_distributed_systematic_resampler",
     "make_distributed_fused_resampler",
+    "distributed_resampling_indices",
     "distributed_systematic_indices",
     "distributed_systematic_resample",
     "distributed_systematic_resample_streaming",
+    "distributed_soft_resample",
     "make_sharded_train_step", "shard_batch",
 ]

@@ -30,19 +30,92 @@ replicated (shard_map in_specs P() for the key).
 from __future__ import annotations
 
 import functools
+import math as _stdmath
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import math as _math
 from .. import resampling as _resampling
 
 
+def _distributed_positions(key, method: str, batch_size: int,
+                           k_local: int, axis_name: str,
+                           data_axis_name: str | None):
+    """This shard's slice `[B, K_local]` of the GLOBAL sorted inverse-CDF
+    query positions of `resampling.resampling_positions(...)`.
+
+    Randomness is drawn over the GLOBAL batch x particle grid and then
+    sliced, so the stream is independent of the mesh layout and
+    bit-matches the single-device sampler with the same key (the
+    threefry generation is elementwise over iota counters, so XLA's
+    loop fusion computes only the sliced window - no O(K_global)
+    materialization per device).
+
+    Positions are per-shard sorted for every method (systematic/
+    stratified strata are slot-aligned; multinomial returns order
+    statistics), which is what the Pallas merge kernels and the ring
+    ownership masks rely on.
+    """
+    n = jax.lax.axis_size(axis_name)
+    d = jax.lax.axis_index(axis_name)
+    k_global = k_local * n
+    dtype = jnp.result_type(float)
+    below_one = jnp.nextafter(jnp.asarray(1.0, dtype),
+                              jnp.asarray(0.0, dtype))
+    if data_axis_name is not None:
+        n_data = jax.lax.axis_size(data_axis_name)
+        d_data = jax.lax.axis_index(data_axis_name)
+        b_global = batch_size * n_data
+        row0 = d_data * batch_size
+    else:
+        b_global = batch_size
+        row0 = 0
+
+    if method == "systematic":
+        u_global = jax.random.uniform(key, (b_global, 1), dtype=dtype)
+        u = jax.lax.dynamic_slice(u_global, (row0, 0), (batch_size, 1))
+        slots = d * k_local + jnp.arange(k_local, dtype=dtype)
+        pos = (u + slots) / k_global
+    elif method == "stratified":
+        u_global = jax.random.uniform(key, (b_global, k_global),
+                                      dtype=dtype)
+        u = jax.lax.dynamic_slice(u_global, (row0, d * k_local),
+                                  (batch_size, k_local))
+        slots = d * k_local + jnp.arange(k_local, dtype=dtype)
+        pos = (u + slots) / k_global
+    elif method == "multinomial":
+        # Sorted-uniform order statistics via exponential spacings
+        # (resampling._multinomial_positions): pos_j = S_j / S_{K+1}.
+        # Each shard cumsums its slice; the shard prefix and the grand
+        # total (including the extra K+1-th draw) come from one
+        # n-scalar all_gather - the same layout as the CDF
+        # normalization.
+        e_global = jax.random.exponential(
+            key, (b_global, k_global + 1), dtype=dtype)
+        e = jax.lax.dynamic_slice(e_global, (row0, d * k_local),
+                                  (batch_size, k_local))
+        e_last = jax.lax.dynamic_slice(
+            e_global, (row0, k_global), (batch_size, 1))[:, 0]
+        local_cs = jnp.cumsum(e, axis=-1)                    # [B, K_local]
+        local_sum = local_cs[:, -1]                          # [B]
+        all_sums = jax.lax.all_gather(local_sum, axis_name)  # [n, B]
+        total = jnp.sum(all_sums, axis=0) + e_last           # [B]
+        prefix = jnp.cumsum(all_sums, axis=0) - all_sums     # exclusive
+        my_prefix = jnp.take(prefix, d, axis=0)              # [B]
+        pos = (my_prefix[:, None] + local_cs) / total[:, None]
+    else:
+        raise ValueError(f"unsupported method: {method}")
+    return jnp.minimum(pos, below_one)
+
+
 def _global_cdf_and_positions(log_weight, key, axis_name: str,
-                              data_axis_name: str | None):
-    """Shared first half of distributed systematic resampling: the
-    replicated global CDF `[B, K]` and this shard's sorted position grid
-    `[B, K_local]` (uniforms drawn over the GLOBAL batch so randomness is
+                              data_axis_name: str | None,
+                              method: str = "systematic"):
+    """Shared first half of distributed resampling: the replicated
+    global CDF `[B, K]` and this shard's sorted position grid
+    `[B, K_local]` (randomness drawn over the GLOBAL grid so it is
     independent of the mesh layout)."""
     log_weight = jax.lax.stop_gradient(jnp.asarray(log_weight))
     batch_size, k_local = log_weight.shape
@@ -76,20 +149,9 @@ def _global_cdf_and_positions(log_weight, key, axis_name: str,
     global_cum = jnp.concatenate(
         [global_cum[:, :-1], jnp.ones_like(global_cum[:, -1:])], axis=1)
 
-    if data_axis_name is not None:
-        n_data = jax.lax.axis_size(data_axis_name)
-        d_data = jax.lax.axis_index(data_axis_name)
-        u_global = jax.random.uniform(
-            key, (batch_size * n_data, 1), dtype=global_cum.dtype)
-        u = jax.lax.dynamic_slice_in_dim(
-            u_global, d_data * batch_size, batch_size, axis=0)
-    else:
-        u = jax.random.uniform(key, (batch_size, 1), dtype=global_cum.dtype)
-    slots = d * k_local + jnp.arange(k_local, dtype=global_cum.dtype)
-    pos = (u + slots) / k_global                             # [B, K_local]
-    pos = jnp.minimum(pos, jnp.nextafter(
-        jnp.asarray(1.0, pos.dtype), jnp.asarray(0.0, pos.dtype)))
-    return global_cum, pos, k_global
+    pos = _distributed_positions(key, method, batch_size, k_local,
+                                 axis_name, data_axis_name)
+    return global_cum, pos.astype(global_cum.dtype), k_global
 
 
 def _use_pallas(k_global: int) -> bool:
@@ -109,9 +171,10 @@ def _use_pallas(k_global: int) -> bool:
         return False
 
 
-def distributed_systematic_indices(log_weight, key, axis_name: str,
-                                   data_axis_name: str | None = None):
-    """Systematic resampling inside `shard_map`; particle axis sharded.
+def distributed_resampling_indices(log_weight, key, axis_name: str,
+                                   data_axis_name: str | None = None,
+                                   method: str = "systematic"):
+    """Resampling inside `shard_map`; particle axis sharded.
 
     Args:
         log_weight: local shard `[B, K_local]` of the global `[B, K]`
@@ -120,13 +183,17 @@ def distributed_systematic_indices(log_weight, key, axis_name: str,
         axis_name: mesh axis name the particle dim is sharded over.
         data_axis_name: mesh axis name the batch dim is sharded over, or
             None if the batch is not sharded.
+        method: 'systematic' | 'stratified' | 'multinomial' (all three
+            have per-shard sorted position grids, so the same owned-slot
+            machinery serves them; BASELINE.json configs 2-3 name the
+            latter two).
 
     Returns:
         `[B, K_local]` int32 GLOBAL ancestor indices for the output slots
         this shard owns (slots `[d*K_local, (d+1)*K_local)`).
     """
     global_cum, pos, k_global = _global_cdf_and_positions(
-        log_weight, key, axis_name, data_axis_name)
+        log_weight, key, axis_name, data_axis_name, method=method)
     if _use_pallas(k_global):
         from ..ops import resample_pallas
         idx = resample_pallas.searchsorted_sorted_cdf_pallas(global_cum, pos)
@@ -134,6 +201,13 @@ def distributed_systematic_indices(log_weight, key, axis_name: str,
         find = functools.partial(jnp.searchsorted, side="right")
         idx = jax.vmap(find)(global_cum, pos)
     return jnp.clip(idx, 0, k_global - 1).astype(jnp.int32)
+
+
+def distributed_systematic_indices(log_weight, key, axis_name: str,
+                                   data_axis_name: str | None = None):
+    """Systematic special case of `distributed_resampling_indices`."""
+    return distributed_resampling_indices(
+        log_weight, key, axis_name, data_axis_name, method="systematic")
 
 
 def distributed_resample_particles(value, global_index, axis_name: str):
@@ -159,7 +233,8 @@ def distributed_resample_particles(value, global_index, axis_name: str):
 
 
 def distributed_systematic_resample(log_weight, key, value, axis_name: str,
-                                    data_axis_name: str | None = None):
+                                    data_axis_name: str | None = None,
+                                    method: str = "systematic"):
     """Fused distributed resampling inside `shard_map`: global ancestor
     indices AND redistributed particles in one pass.
 
@@ -167,10 +242,11 @@ def distributed_systematic_resample(log_weight, key, value, axis_name: str,
     particle gather run in ONE Pallas merge kernel (CDF length K_global,
     position length K_local); elsewhere XLA search + gather. Returns
     (indices `[B, K_local]`, value pytree with `[B, K_local, ...]`
-    leaves).
+    leaves). `method` selects the position grid (systematic/stratified/
+    multinomial; all per-shard sorted).
     """
     global_cum, pos, k_global = _global_cdf_and_positions(
-        log_weight, key, axis_name, data_axis_name)
+        log_weight, key, axis_name, data_axis_name, method=method)
 
     leaves, treedef = jax.tree_util.tree_flatten(value)
     gathered_full = [jax.lax.all_gather(jnp.asarray(leaf), axis_name,
@@ -232,9 +308,10 @@ def _normalization_terms(log_weight, axis_name):
 
 def distributed_systematic_resample_streaming(
         log_weight, key, value, axis_name: str,
-        data_axis_name: str | None = None):
-    """Ring-streaming distributed systematic resampling: indices AND the
-    particle exchange with O(K/n) live memory per device.
+        data_axis_name: str | None = None,
+        method: str = "systematic"):
+    """Ring-streaming distributed resampling: indices AND the particle
+    exchange with O(K/n) live memory per device.
 
     The all_gather variant (`distributed_systematic_resample`)
     materializes the full global CDF and particle set on every device -
@@ -278,19 +355,9 @@ def distributed_systematic_resample_streaming(
     edges = jnp.concatenate(
         [edges[:-1], jnp.ones_like(edges[-1:])], axis=0)
 
-    if data_axis_name is not None:
-        n_data = jax.lax.axis_size(data_axis_name)
-        d_data = jax.lax.axis_index(data_axis_name)
-        u_global = jax.random.uniform(
-            key, (batch_size * n_data, 1), dtype=local_cum.dtype)
-        u = jax.lax.dynamic_slice_in_dim(
-            u_global, d_data * batch_size, batch_size, axis=0)
-    else:
-        u = jax.random.uniform(key, (batch_size, 1), dtype=local_cum.dtype)
-    slots = d * k_local + jnp.arange(k_local, dtype=local_cum.dtype)
-    pos = (u + slots) / k_global                             # [B, K_local]
-    pos = jnp.minimum(pos, jnp.nextafter(
-        jnp.asarray(1.0, pos.dtype), jnp.asarray(0.0, pos.dtype)))
+    pos = _distributed_positions(key, method, batch_size, k_local,
+                                 axis_name, data_axis_name)
+    pos = pos.astype(local_cum.dtype)                        # [B, K_local]
 
     leaves, treedef = jax.tree_util.tree_flatten(value)
     leaves = [jnp.asarray(leaf) for leaf in leaves]
@@ -351,10 +418,73 @@ def distributed_systematic_resample_streaming(
     return idx, jax.tree_util.tree_unflatten(treedef, out_leaves)
 
 
+def distributed_soft_resample(log_weight, key, value, axis_name: str,
+                              alpha: float = 0.5,
+                              data_axis_name: str | None = None,
+                              exchange: str = "allgather"):
+    """Distributed differentiable ('soft') resampling inside `shard_map`.
+
+    The sharded-particle-axis version of
+    `resampling.soft_resample_and_gather` (Karkus et al. 2018, the
+    BASELINE config-5 resampler): ancestors are drawn multinomially from
+    the tempered mixture q = alpha*w + (1-alpha)/K and the next-step
+    weights carry the correction log(w[a]/q[a]), so the estimator stays
+    unbiased while gradients flow into the pre-resampling weights.
+
+    Distribution of the math:
+    - the weight normalization is a distributed logsumexp (pmax + psum
+      over ICI, `math.distributed_logsumexp`);
+    - the tempering is elementwise on the local shard;
+    - the multinomial positions, the q-CDF, the index search and the
+      particle exchange reuse the systematic machinery (multinomial
+      positions are per-shard sorted order statistics);
+    - the gathered log_w / log_q columns RIDE THE SAME EXCHANGE as the
+      particle columns (all_gather or ring ppermute), so the correction
+      is computed from values that arrived over ICI - and the exchange
+      is differentiable (take_along_axis / the Pallas kernel's
+      transposed-merge VJP), so d(corrected)/d(log_weight) matches the
+      single-device formula.
+
+    Args:
+        log_weight: local shard `[B, K_local]` (differentiable).
+        key: PRNG key, replicated.
+        value: pytree of `[B, K_local, ...]` leaves.
+        alpha: tempering in (0, 1]; alpha=1 is plain multinomial.
+        axis_name / data_axis_name: mesh axis names.
+        exchange: 'allgather' or 'ring' (O(K/n) live memory).
+
+    Returns:
+        (indices `[B, K_local]` int32 - detached,
+         corrected log-weights `[B, K_local]` - differentiable,
+         resampled value pytree).
+    """
+    log_weight = jnp.asarray(log_weight)
+    n = jax.lax.axis_size(axis_name)
+    k_global = log_weight.shape[1] * n
+    # Distributed lognormexp (differentiable w.r.t. log_weight).
+    log_w = log_weight - _math.distributed_logsumexp(
+        log_weight, axis_name, axis=1)[:, None]
+    log_q = jnp.logaddexp(
+        jnp.log(alpha) + log_w,
+        jnp.full_like(log_w, jnp.log((1.0 - alpha) / k_global))
+    ) if alpha < 1.0 else log_w
+    lq_det = jax.lax.stop_gradient(log_q)
+
+    body = (distributed_systematic_resample if exchange == "allgather"
+            else distributed_systematic_resample_streaming)
+    idx, (val, log_w_sel, log_q_sel) = body(
+        lq_det, key, (value, log_w, log_q), axis_name,
+        data_axis_name=data_axis_name, method="multinomial")
+    corrected = log_w_sel - jax.lax.stop_gradient(log_q_sel)
+    return idx, corrected, val
+
+
 def make_distributed_fused_resampler(mesh: Mesh,
                                      data_axis: str = "data",
                                      particle_axis: str = "particle",
-                                     exchange: str = "allgather"):
+                                     exchange: str = "allgather",
+                                     method: str = "systematic",
+                                     soft_alpha: float = 0.5):
     """A FUSED `(log_weight, key, value) -> (indices, value)` callable for
     `infer(resampling_implementation=...)`: indices and the particle
     exchange run in one shard_map (one Pallas merge kernel per shard per
@@ -365,22 +495,58 @@ def make_distributed_fused_resampler(mesh: Mesh,
     device - fastest at small K) or 'ring' (streaming ppermute exchange,
     O(K/n) live memory per device - the layout for config-5 scale;
     bit-identical results).
+
+    `method`: 'systematic' | 'stratified' | 'multinomial' | 'soft'.
+    With 'soft' the returned callable carries `.soft = True`, takes the
+    same `(log_weight, key, value)` arguments and returns
+    `(indices, corrected_log_weights, value)` - differentiable soft
+    resampling sharded over the mesh (BASELINE config 5); the tempering
+    is `soft_alpha`, bound here (the engine validates its
+    `soft_resampling_alpha` against `.soft_alpha`).
     """
     if exchange not in ("allgather", "ring"):
         raise ValueError(f"exchange must be 'allgather' or 'ring'. "
                          f"currently = {exchange}")
-    body = (distributed_systematic_resample if exchange == "allgather"
-            else distributed_systematic_resample_streaming)
+    if method not in _resampling.METHODS + ("soft",):
+        raise ValueError(
+            f"method must be one of {_resampling.METHODS + ('soft',)}. "
+            f"currently = {method}")
 
-    def resampler(log_weight, key, value):
+    def _specs_for(value):
         leaves, treedef = jax.tree_util.tree_flatten(value)
         leaf_specs = [P(data_axis, particle_axis,
                         *([None] * (jnp.ndim(leaf) - 2)))
                       for leaf in leaves]
-        value_specs = jax.tree_util.tree_unflatten(treedef, leaf_specs)
+        return jax.tree_util.tree_unflatten(treedef, leaf_specs)
+
+    if method == "soft":
+        def resampler(log_weight, key, value):
+            value_specs = _specs_for(value)
+            f = jax.shard_map(
+                lambda lw, v, k: distributed_soft_resample(
+                    lw, k, v, particle_axis, alpha=soft_alpha,
+                    data_axis_name=data_axis, exchange=exchange),
+                mesh=mesh,
+                in_specs=(P(data_axis, particle_axis), value_specs, P()),
+                out_specs=(P(data_axis, particle_axis),
+                           P(data_axis, particle_axis), value_specs),
+                check_vma=False)
+            return f(log_weight, value, key)
+
+        resampler.fused = True
+        resampler.soft = True
+        resampler.soft_alpha = soft_alpha
+        return resampler
+
+    body = (distributed_systematic_resample if exchange == "allgather"
+            else distributed_systematic_resample_streaming)
+
+    def resampler(log_weight, key, value):
+        value_specs = _specs_for(value)
         f = jax.shard_map(
             lambda lw, v, k: body(
-                lw, k, v, particle_axis, data_axis_name=data_axis),
+                lw, k, v, particle_axis, data_axis_name=data_axis,
+                method=method),
             mesh=mesh,
             in_specs=(P(data_axis, particle_axis), value_specs, P()),
             out_specs=(P(data_axis, particle_axis), value_specs),
@@ -391,9 +557,10 @@ def make_distributed_fused_resampler(mesh: Mesh,
     return resampler
 
 
-def make_distributed_systematic_resampler(mesh: Mesh,
-                                          data_axis: str = "data",
-                                          particle_axis: str = "particle"):
+def make_distributed_resampler(mesh: Mesh,
+                               data_axis: str = "data",
+                               particle_axis: str = "particle",
+                               method: str = "systematic"):
     """A `(log_weight, key) -> indices` callable with explicit collectives.
 
     Signature-compatible with the `implementation=` hook of
@@ -401,12 +568,19 @@ def make_distributed_systematic_resampler(mesh: Mesh,
     `[B, K]` log-weights (sharded `(data, particle)`) and returns global
     `[B, K]` ancestor indices with the same sharding, computed via
     shard_map + ICI collectives instead of letting GSPMD partition the
-    single-device formulation.
+    single-device formulation. `method` selects systematic/stratified/
+    multinomial (BASELINE.json configs 2-3 name the latter two).
     """
+    if method not in _resampling.METHODS:
+        raise ValueError(
+            f"method must be one of {_resampling.METHODS}. "
+            f"currently = {method}")
+
     def resampler(log_weight, key):
         f = jax.shard_map(
-            lambda lw, k: distributed_systematic_indices(
-                lw, k, particle_axis, data_axis_name=data_axis),
+            lambda lw, k: distributed_resampling_indices(
+                lw, k, particle_axis, data_axis_name=data_axis,
+                method=method),
             mesh=mesh,
             in_specs=(P(data_axis, particle_axis), P()),
             out_specs=P(data_axis, particle_axis),
@@ -416,3 +590,11 @@ def make_distributed_systematic_resampler(mesh: Mesh,
         return f(log_weight, key)
 
     return resampler
+
+
+def make_distributed_systematic_resampler(mesh: Mesh,
+                                          data_axis: str = "data",
+                                          particle_axis: str = "particle"):
+    """Systematic special case of `make_distributed_resampler`."""
+    return make_distributed_resampler(mesh, data_axis, particle_axis,
+                                      method="systematic")

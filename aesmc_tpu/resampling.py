@@ -372,6 +372,11 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
         implementation = _auto_implementation(log_weight, method)
 
     if callable(implementation) and getattr(implementation, "fused", False):
+        if getattr(implementation, "soft", False):
+            raise ValueError(
+                "got a soft fused resampler (returns corrected weights) "
+                "for plain resampling; use resampling_method='soft' / "
+                "soft_resample_and_gather with it instead")
         # e.g. parallel.make_distributed_fused_resampler: indices and the
         # cross-shard particle exchange in one shard_map.
         return implementation(log_weight, key, value)
@@ -507,6 +512,20 @@ def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
     """
     log_weight = jnp.asarray(log_weight)
     _check_nan_eager(log_weight)
+    if callable(implementation):
+        if not getattr(implementation, "soft", False):
+            raise ValueError(
+                "soft resampling with a callable implementation needs a "
+                "soft-aware fused resampler (e.g. "
+                "parallel.make_distributed_fused_resampler("
+                "method='soft')); got a callable without .soft")
+        bound = getattr(implementation, "soft_alpha", None)
+        if bound is not None and bound != alpha:
+            raise ValueError(
+                f"the distributed soft resampler was built with "
+                f"soft_alpha={bound} but alpha={alpha} was requested; "
+                f"rebuild it with the matching soft_alpha")
+        return implementation(jnp.asarray(log_weight), key, value)
     _, num_particles = log_weight.shape
     if implementation == "auto":
         implementation = _auto_implementation(log_weight, "multinomial")

@@ -259,6 +259,33 @@ def main():
     log(f"TMC train step T={T2} B={B2} K={K2}: {dt3*1e3:.2f} ms "
         f"(sustained) = {1/dt3:.1f} steps/s")
 
+    # ---- Config-5 single-chip: 1M-particle DIFFERENTIABLE soft-
+    # resampling train step (BASELINE.json:11 names "1M particles ...
+    # with differentiable soft/OT resampling"; the sharded multi-chip
+    # layout is exercised by dryrun_multichip - this row records the
+    # per-chip cost of the differentiable path at the config-5 particle
+    # count).
+    T5, B5, K5 = 10, 2, 1_000_000
+    _, obs5 = statistics.sample_from_prior(initial, transition, emission,
+                                           T5, B5, key)
+    step_soft = atrain.make_train_step(K5, "aesmc", optimizer,
+                                       resampling_method="soft",
+                                       jit=False)
+    opt_state5 = optimizer.init(comps)
+
+    def soft_chain(carry):
+        comps_, opt_state_, k = carry
+        k, sub = jax.random.split(k)
+        comps_, opt_state_, _ = step_soft(comps_, opt_state_, obs5, sub)
+        return comps_, opt_state_, k
+
+    dt5 = timed_chained(soft_chain, (comps, opt_state5, key),
+                        repeats=3, chain=3)
+    log(f"config-5 soft train step T={T5} B={B5} K={K5:,}: "
+        f"{dt5*1e3:.1f} ms/step (sustained) = "
+        f"{B5*K5*T5/dt5/1e6:.1f} M particle-steps/s through the "
+        f"differentiable resampler")
+
     vs_baseline = None
     if BASELINE_FILE.exists():
         baseline = json.loads(BASELINE_FILE.read_text())
@@ -280,6 +307,7 @@ def main():
         "vs_baseline": vs_baseline,
         "train_steps_per_sec": 1 / dt2,
         "tmc_train_steps_per_sec": 1 / dt3,
+        "soft_1m_train_ms_per_step": dt5 * 1e3,
         "kernel_verify_ok": verify_ok,
     }))
 

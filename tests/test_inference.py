@@ -307,6 +307,33 @@ class TestObservationSequence:
         assert int(np.asarray(1 + t)) == 4
         assert int(np.asarray(t - 1)) == 2
 
+    def test_time_index_nonzero_compare_usable_in_jnp(self):
+        # time == t for t >= 1 is a traced boolean usable in jnp ops
+        # after an explicit jnp.asarray (JAX 0.9 dropped implicit
+        # __jax_array__ abstractification), and via the boolean
+        # operators, which delegate directly.
+        t = inference.TimeIndex(jnp.asarray(3))
+        picked = jnp.where(jnp.asarray(t == 3), 1.0, 0.0)
+        assert float(picked) == 1.0
+        picked = jnp.where(jnp.asarray(t == 2), 1.0, 0.0)
+        assert float(picked) == 0.0
+        assert bool(jax.lax.cond(jnp.asarray(t == 3),
+                                 lambda: True, lambda: False))
+        assert bool(np.asarray(~(t == 2)))
+        assert bool(np.asarray((t == 3) & True))
+
+    def test_time_index_nonzero_compare_in_if_raises_hint(self):
+        # ...but a Python `if` branch gets the targeted contract error
+        # (reference models port `if time == k:` branches; the generic
+        # TracerBoolConversionError gave no pointer at the TimeIndex
+        # contract).
+        t = inference.TimeIndex(jnp.asarray(3))
+        with pytest.raises(TypeError, match="TimeIndex"):
+            if t == 1:
+                pass
+        with pytest.raises(TypeError, match="hoisted"):
+            bool(t != 2)
+
 
 class TestAdaptiveResampling:
     """ESS-adaptive SMC: frac -> inf reduces to always-resample (AESMC

@@ -324,3 +324,61 @@ class TestKalmanNdOracle:
         assert rmse / scale < 0.15, (rmse, scale)
         est_lml = float(result["log_marginal_likelihood"][0])
         np.testing.assert_allclose(est_lml, exact_lml, rtol=0.05)
+
+
+class TestMixedPrecision:
+    """compute_dtype='bfloat16': bf16 matmul inputs + f32 MXU
+    accumulation on the deep models' nets; params, gradients and all
+    log-weight arithmetic stay f32."""
+
+    def test_vrnn_bf16_close_to_f32_and_grads_f32(self):
+        from aesmc_tpu.models import vrnn
+        key = jax.random.PRNGKey(4)
+        comps32 = vrnn.make_model(latent_dim=3, hidden_dim=8, obs_dim=5,
+                                  key=key, mlp_hidden=16)
+        comps16 = vrnn.make_model(latent_dim=3, hidden_dim=8, obs_dim=5,
+                                  key=key, mlp_hidden=16,
+                                  compute_dtype="bfloat16")
+        initial, encoder, transition, emission, proposal = comps32
+        _, obs = vrnn.generate(encoder, initial, transition, emission,
+                               10, 4, jax.random.PRNGKey(1))
+        # Same weights (compute_dtype is a static field, not a leaf).
+        l32, l16 = [], []
+        for comps, acc in ((comps32, l32), (comps16, l16)):
+            ini, enc, tr, em, pr = comps
+
+            def loss_fn(enc_, tr_, em_, pr_):
+                return vrnn.vrnn_loss(obs, 16, "aesmc", ini, enc_, tr_,
+                                      em_, pr_, key=jax.random.PRNGKey(2))
+
+            loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
+                enc, tr, em, pr)
+            acc.append(float(loss))
+            for g in jax.tree_util.tree_leaves(grads):
+                assert g.dtype == jnp.float32
+                assert np.isfinite(np.asarray(g)).all()
+        # bf16 nets perturb the proposal samples, so losses differ -
+        # but both estimate the same ELBO of nearby models.
+        assert abs(l32[0] - l16[0]) < 0.15 * abs(l32[0]) + 2.0, (l32, l16)
+
+    def test_bouncing_ball_bf16_runs(self):
+        from aesmc_tpu import losses
+        comps = bouncing_ball.make_model(KEY, num_pixels=16, hidden=32,
+                                         compute_dtype="bfloat16")
+        initial, transition, emission, proposal = comps
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, 6, 3, KEY)
+        loss = losses.get_loss(obs, 8, "aesmc", initial, transition,
+                               emission, proposal, key=KEY)
+        assert np.isfinite(float(loss))
+
+    def test_mixed_dot_accumulates_f32(self):
+        from aesmc_tpu.utils import mixed_dot
+        x = jnp.ones((4, 256)) * 0.1
+        w = jnp.ones((256, 8)) * 0.1
+        out = mixed_dot(x, w, "bfloat16")
+        assert out.dtype == jnp.float32
+        # bf16 INPUT rounding only (0.1 -> ~0.10009765); f32
+        # accumulation keeps the 256-term sum at ~1e-3 relative, far
+        # tighter than bf16 accumulation would (~1e-2).
+        np.testing.assert_allclose(np.asarray(out), 2.56, rtol=5e-3)

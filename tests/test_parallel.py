@@ -327,3 +327,176 @@ class TestStreamingRingExchange:
         with pytest.raises(ValueError, match="exchange"):
             parallel.make_distributed_fused_resampler(mesh,
                                                       exchange="bogus")
+
+
+class TestDistributedVariants:
+    """Distributed stratified/multinomial resampling (BASELINE configs
+    2-3): the position grids are per-shard sorted (stratified strata are
+    slot-aligned; multinomial emits order statistics), so the same
+    owned-slot/ring machinery as systematic applies - verified exact vs
+    the single-device samplers."""
+
+    @pytest.mark.parametrize("dp,pp", [(2, 4), (1, 8), (4, 2), (8, 1)])
+    @pytest.mark.parametrize("method", ["stratified", "multinomial"])
+    def test_indices_exact_vs_single_device(self, method, dp, pp):
+        mesh = parallel.make_mesh(data=dp, particle=pp)
+        lw = jnp.asarray(
+            np.random.RandomState(0).randn(8, 32).astype(np.float32))
+        dist = parallel.make_distributed_resampler(mesh, method=method)
+        got = np.asarray(dist(lw, KEY))
+        want = np.asarray(resampling._VARIANTS[method](lw, KEY))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("exchange", ["allgather", "ring"])
+    @pytest.mark.parametrize("method", ["stratified", "multinomial"])
+    def test_fused_exchange_exact(self, method, exchange):
+        mesh = parallel.make_mesh(data=2, particle=4)
+        rng = np.random.RandomState(1)
+        lw = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+        value = {"x": jnp.asarray(rng.randn(4, 32).astype(np.float32)),
+                 "y": jnp.asarray(rng.randn(4, 32, 2).astype(np.float32))}
+        fused = parallel.make_distributed_fused_resampler(
+            mesh, exchange=exchange, method=method)
+        idx, val = fused(lw, KEY, value)
+        want_idx = np.asarray(resampling._VARIANTS[method](lw, KEY))
+        want_val = state.resample(value, jnp.asarray(want_idx))
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        for k in value:
+            np.testing.assert_array_equal(np.asarray(val[k]),
+                                          np.asarray(want_val[k]))
+
+    def test_bad_method_raises(self):
+        mesh = parallel.make_mesh(data=1, particle=8)
+        with pytest.raises(ValueError, match="method"):
+            parallel.make_distributed_resampler(mesh, method="bogus")
+        with pytest.raises(ValueError, match="method"):
+            parallel.make_distributed_fused_resampler(mesh, method="bogus")
+
+
+class TestDistributedSoftResampling:
+    """Distributed differentiable (soft) resampling - the BASELINE
+    config-5 resampler sharded over the mesh: ancestors from the
+    tempered mixture, corrected log-weights computed from columns that
+    rode the exchange, gradients flowing into the pre-resampling
+    weights exactly as single-device."""
+
+    ALPHA = 0.5
+
+    def _inputs(self):
+        rng = np.random.RandomState(5)
+        lw = jnp.asarray(rng.randn(8, 32).astype(np.float32))
+        value = {"x": jnp.asarray(rng.randn(8, 32).astype(np.float32)),
+                 "y": jnp.asarray(rng.randn(8, 32, 2).astype(np.float32))}
+        return lw, value
+
+    def _single_device(self, lw, value):
+        return resampling.soft_resample_and_gather(
+            lw, KEY, value, alpha=self.ALPHA, implementation="xla")
+
+    @pytest.mark.parametrize("dp,pp", [(2, 4), (1, 8), (4, 2), (8, 1)])
+    def test_matches_single_device(self, dp, pp):
+        lw, value = self._inputs()
+        want_idx, want_corr, want_val = self._single_device(lw, value)
+        mesh = parallel.make_mesh(data=dp, particle=pp)
+        soft = parallel.make_distributed_fused_resampler(
+            mesh, method="soft", soft_alpha=self.ALPHA)
+        idx, corr, val = soft(lw, KEY, value)
+        np.testing.assert_array_equal(np.asarray(idx),
+                                      np.asarray(want_idx))
+        np.testing.assert_allclose(np.asarray(corr),
+                                   np.asarray(want_corr), atol=1e-6)
+        for k in value:
+            np.testing.assert_allclose(np.asarray(val[k]),
+                                       np.asarray(want_val[k]), atol=1e-6)
+
+    def test_ring_matches_allgather(self):
+        lw, value = self._inputs()
+        mesh = parallel.make_mesh(data=2, particle=4)
+        outs = {}
+        for exchange in ("allgather", "ring"):
+            soft = parallel.make_distributed_fused_resampler(
+                mesh, method="soft", soft_alpha=self.ALPHA,
+                exchange=exchange)
+            outs[exchange] = soft(lw, KEY, value)
+        np.testing.assert_array_equal(np.asarray(outs["ring"][0]),
+                                      np.asarray(outs["allgather"][0]))
+        np.testing.assert_array_equal(np.asarray(outs["ring"][1]),
+                                      np.asarray(outs["allgather"][1]))
+        for k in value:
+            np.testing.assert_array_equal(
+                np.asarray(outs["ring"][2][k]),
+                np.asarray(outs["allgather"][2][k]))
+
+    @pytest.mark.parametrize("exchange", ["allgather", "ring"])
+    def test_gradient_matches_single_device(self, exchange):
+        # d(corrected + gathered)/d(log_weight): the soft estimator's
+        # whole point - must survive the collectives (all_gather /
+        # ppermute transposes).
+        lw, value = self._inputs()
+
+        def single(lw_):
+            _, corr, val = self._single_device(lw_, value)
+            return jnp.sum(corr) + jnp.sum(val["x"])
+
+        g_want = np.asarray(jax.grad(single)(lw))
+        mesh = parallel.make_mesh(data=2, particle=4)
+        soft = parallel.make_distributed_fused_resampler(
+            mesh, method="soft", soft_alpha=self.ALPHA, exchange=exchange)
+
+        def dist(lw_):
+            _, corr, val = soft(lw_, KEY, value)
+            return jnp.sum(corr) + jnp.sum(val["x"])
+
+        g = np.asarray(jax.grad(dist)(lw))
+        np.testing.assert_allclose(g, g_want, atol=1e-5)
+
+    def test_engine_integration_matches_single_device(self):
+        from aesmc_tpu import inference
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.2)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, 6, 4, KEY)
+        mesh = parallel.make_mesh(data=2, particle=4)
+        soft = parallel.make_distributed_fused_resampler(
+            mesh, method="soft", soft_alpha=0.5)
+        kwargs = dict(
+            key=KEY, resampling_method="soft", soft_resampling_alpha=0.5,
+            return_log_marginal_likelihood=True, return_latents=False)
+        got = inference.infer(
+            "smc", parallel.shard_batch(obs, mesh), initial, transition,
+            emission, proposal, 32, resampling_implementation=soft,
+            mesh=mesh, **kwargs)
+        want = inference.infer(
+            "smc", obs, initial, transition, emission, proposal, 32,
+            resampling_implementation="xla", **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(got["log_marginal_likelihood"]),
+            np.asarray(want["log_marginal_likelihood"]), atol=1e-5)
+
+    def test_alpha_mismatch_raises(self):
+        lw, value = self._inputs()
+        mesh = parallel.make_mesh(data=1, particle=8)
+        soft = parallel.make_distributed_fused_resampler(
+            mesh, method="soft", soft_alpha=0.3)
+        with pytest.raises(ValueError, match="soft_alpha"):
+            resampling.soft_resample_and_gather(
+                lw, KEY, value, alpha=0.5, implementation=soft)
+
+    def test_soft_callable_in_plain_path_raises(self):
+        lw, value = self._inputs()
+        mesh = parallel.make_mesh(data=1, particle=8)
+        soft = parallel.make_distributed_fused_resampler(
+            mesh, method="soft")
+        with pytest.raises(ValueError, match="soft"):
+            resampling.sample_ancestral_index_and_resample(
+                lw, KEY, value, implementation=soft)
+
+    def test_non_soft_callable_in_soft_path_raises(self):
+        lw, value = self._inputs()
+        mesh = parallel.make_mesh(data=1, particle=8)
+        plain = parallel.make_distributed_fused_resampler(mesh)
+        with pytest.raises(ValueError, match="soft"):
+            resampling.soft_resample_and_gather(
+                lw, KEY, value, implementation=plain)

@@ -151,3 +151,92 @@ def test_blocked_matches_full_bitwise():
         tmc.tmc_log_marginal_likelihood(
             obs, initial, transition, emission, proposal, 100, key=k5,
             block_size=33)
+
+
+def test_pairwise_vmap_matches_broadcast():
+    # The general (vmapped-over-parents) tile must reproduce the
+    # broadcast fast path exactly on a model where both apply.
+    obs, initial, transition, emission, proposal, _ = _problem(T=6, B=2)
+    want = tmc.tmc_log_marginal_likelihood(
+        obs, initial, transition, emission, proposal, 16, key=KEY,
+        pairwise="broadcast")
+    got = tmc.tmc_log_marginal_likelihood(
+        obs, initial, transition, emission, proposal, 16, key=KEY,
+        pairwise="vmap")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5)
+
+
+class _RankBoundNeuralTransition:
+    """An MLP transition that ASSUMES rank-3 [B, K, D] latents (explicit
+    reshape through the net) - the shape contract that excludes the
+    broadcast tile and forces TMC's vmap fallback."""
+
+    def __init__(self, dim, key):
+        from aesmc_tpu.utils.mlp import MLP
+        self.net = MLP.create((dim, 8, dim), key)
+        self.dim = dim
+
+    def __call__(self, previous_latents=None, time=None,
+                 previous_observations=None):
+        from aesmc_tpu import distributions as dists
+        from aesmc_tpu.state import BatchShapeMode
+        prev = previous_latents[-1]
+        b, k, d = prev.shape              # rank-3 contract
+        loc = self.net(prev.reshape(b * k, d)).reshape(b, k, d)
+        return dists.MultivariateNormalDiag(
+            loc, 0.8 * jnp.ones_like(loc),
+            batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
+
+
+def _neural_problem(T=5, B=2, dim=2):
+    from aesmc_tpu.models import lgssm_nd
+    initial = lgssm_nd.Initial.create(dim)
+    transition = _RankBoundNeuralTransition(dim, jax.random.PRNGKey(9))
+    emission = lgssm_nd.Emission.create(np.eye(dim), 0.3)
+    proposal = lgssm_nd.Proposal.create(dim, dim, jax.random.PRNGKey(10))
+    _, obs = statistics.sample_from_prior(
+        initial, transition, emission, T, B, KEY)
+    return obs, initial, transition, emission, proposal
+
+
+def test_neural_transition_requires_vmap_and_auto_finds_it():
+    obs, initial, transition, emission, proposal = _neural_problem()
+    # The broadcast tile cannot form ([B, K, 1, D] breaks the rank-3
+    # contract)...
+    with np.testing.assert_raises(Exception):
+        tmc.tmc_log_marginal_likelihood(
+            obs, initial, transition, emission, proposal, 8, key=KEY,
+            pairwise="broadcast")
+    # ...the explicit vmap mode runs, and 'auto' silently routes to it.
+    v = tmc.tmc_log_marginal_likelihood(
+        obs, initial, transition, emission, proposal, 8, key=KEY,
+        pairwise="vmap")
+    a = tmc.tmc_log_marginal_likelihood(
+        obs, initial, transition, emission, proposal, 8, key=KEY,
+        pairwise="auto")
+    assert np.isfinite(np.asarray(v)).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(v), rtol=1e-6)
+
+
+def test_neural_transition_gradients_flow():
+    obs, initial, transition, emission, proposal = _neural_problem()
+
+    def loss(weights):
+        transition.net = transition.net.replace(weights=weights)
+        return float(0) + jnp.mean(-tmc.tmc_log_marginal_likelihood(
+            obs, initial, transition, emission, proposal, 8, key=KEY,
+            pairwise="vmap"))
+
+    grads = jax.grad(loss)(transition.net.weights)
+    norms = [float(jnp.linalg.norm(g)) for g in grads]
+    assert all(np.isfinite(n) for n in norms)
+    assert all(n > 0 for n in norms), norms
+
+
+def test_bad_pairwise_raises():
+    obs, initial, transition, emission, proposal, _ = _problem(T=3, B=2)
+    with np.testing.assert_raises(ValueError):
+        tmc.tmc_log_marginal_likelihood(
+            obs, initial, transition, emission, proposal, 4, key=KEY,
+            pairwise="bogus")
