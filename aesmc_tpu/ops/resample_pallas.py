@@ -337,7 +337,8 @@ _BELOW_ONE = float(_np.nextafter(_np.float32(1.0), _np.float32(0.0)))
 
 
 def _make_window_kernel(num_values: int, emit_idx: bool,
-                        kp_real=None, range_sum: bool = False):
+                        kp_real=None, range_sum: bool = False,
+                        hbm_tiles_per_chunk=None):
     """v5: the precomputed-window kernel family (round-2 redesign).
 
     Three modes sharing one structure:
@@ -351,11 +352,23 @@ def _make_window_kernel(num_values: int, emit_idx: bool,
       and an extra ref the LOWER edge; vout_j = sum of values over
       slots in [lower_j, upper_j) (the transposed-merge gather VJP);
       idx (if emitted) is the strict count #{slot < upper_j}.
+
+    `hbm_tiles_per_chunk` (round 3) switches any of the three modes to
+    the v5-HBM layout for 2M-8M particles: the CDF-side arrays live in
+    HBM (pl.ANY) and are DMA'd ONCE per batch row into single-buffered
+    VMEM scratch (on the row's first chunk - scratch persists across
+    the sequential chunk grid dim), while the position-side arrays and
+    outputs are (B, chunks)-gridded VMEM blocks whose DMA the Pallas
+    pipeline double-buffers - the "batched DMA-out of output tiles".
+    Replaces the v1 two-cursor HBM merge above the v5 VMEM cap (same
+    windows, no serial cursors, no per-chunk re-DMA of the CDF).
     """
-    return _window_kernel_impl(num_values, emit_idx, kp_real, range_sum)
+    return _window_kernel_impl(num_values, emit_idx, kp_real, range_sum,
+                               hbm_tiles_per_chunk)
 
 
-def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum):
+def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum,
+                        hbm_tiles_per_chunk=None):
     """See `_make_window_kernel`. Original v5 rationale:
 
     perf_probe_r3.py isolated the v1 merge's cost to its cross-lane ops:
@@ -388,6 +401,7 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum):
     """
     w_tile = MERGE_ROWS
     systematic = kp_real is not None
+    hbm = hbm_tiles_per_chunk is not None
 
     def kernel(*refs):
         starts_ref, pmax_ref, rowmax_ref = refs[:3]
@@ -399,21 +413,58 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum):
         if range_sum:
             lower_ref, refs = refs[0], refs[1:]
             cdf_ref, refs = refs[0], refs[1:]
+            prev_ref = None
         else:
             cdf_ref, prev_ref = refs[0], refs[1]
             refs = refs[2:]
-        v_refs = refs[0:num_values]
-        outs = refs[num_values:]
+        v_refs = list(refs[0:num_values])
+        refs = refs[num_values:]
+        n_outs = (1 if emit_idx else 0) + num_values
+        outs = refs[:n_outs]
         if emit_idx:
             idx_ref, vout_refs = outs[0], outs[1:]
         else:
             vout_refs = outs
 
-        rc = cdf_ref.shape[0]
-        # starts_ref always exists (unlike idx_ref/vout_refs, which
-        # depend on emit_idx/num_values) and has one entry per position
-        # tile.
-        n_tiles_p = starts_ref.shape[-1]
+        if hbm:
+            # CDF-side arrays arrive as full [B*Rc, 128] HBM refs; DMA
+            # this batch row's slice into single-buffered scratch ONCE
+            # (first chunk of the row - scratch persists across the
+            # sequential chunk grid dimension).
+            scratch = refs[n_outs:]
+            n_c = (1 if range_sum else 2) + num_values
+            c_scratch = scratch[:n_c]
+            dma_sems = scratch[n_c]
+            rc = c_scratch[0].shape[0]
+            hbm_srcs = ([cdf_ref] if range_sum
+                        else [cdf_ref, prev_ref]) + v_refs
+            b = pl.program_id(0)
+
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                copies = [pltpu.make_async_copy(
+                    src.at[pl.ds(b * rc, rc), :], c_scratch[q],
+                    dma_sems.at[q]) for q, src in enumerate(hbm_srcs)]
+                for c in copies:
+                    c.start()
+                for c in copies:
+                    c.wait()
+
+            if range_sum:
+                cdf_ref = c_scratch[0]
+                v_refs = list(c_scratch[1:1 + num_values])
+            else:
+                cdf_ref, prev_ref = c_scratch[0], c_scratch[1]
+                v_refs = list(c_scratch[2:2 + num_values])
+            n_tiles_p = hbm_tiles_per_chunk
+            tile0 = pl.program_id(1) * hbm_tiles_per_chunk
+        else:
+            rc = cdf_ref.shape[0]
+            # starts_ref always exists (unlike idx_ref/vout_refs, which
+            # depend on emit_idx/num_values) and has one entry per
+            # position tile.
+            n_tiles_p = starts_ref.shape[-1]
+            tile0 = 0
         tile_k = w_tile * LANE
         if systematic:
             kf = jnp.float32(kp_real)
@@ -422,8 +473,11 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum):
                 jnp.int32, (LANE, 1), 0).astype(jnp.float32)
 
         def tile_body(t, _):
-            start = starts_ref[0, 0, t]
-            pmax = pmax_ref[0, 0, t]
+            # `t` is the tile index within this program's block; the
+            # SMEM tables and the systematic grid are indexed globally.
+            tg = tile0 + t
+            start = starts_ref[0, 0, tg]
+            pmax = pmax_ref[0, 0, tg]
             if not systematic:
                 pos_tile = pos_ref[pl.ds(t * w_tile, w_tile), :]
             if range_sum:
@@ -446,7 +500,7 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum):
                 val_cols = [[] for _ in range(num_values)]
                 for a in range(w_tile):
                     if systematic:
-                        base_j = (t * tile_k +
+                        base_j = (tg * tile_k +
                                   a * LANE).astype(jnp.float32)
                         # Same arithmetic as resampling_positions (add
                         # u first, divide, clamp strictly below 1).
@@ -541,9 +595,36 @@ def v5_fits(kc: int, kp: int, num_values: int, *,
     return 2 * 4 * LANE * (rc * n_c + rp * n_p) <= V5_VMEM_BUDGET
 
 
+# v5-HBM single-buffered CDF-side scratch budget (within the 110 MB
+# scope, leaving room for the chunked position/output pipeline blocks):
+# covers 8M particles with one value column (3 x 32 MB).
+V5_HBM_VMEM_BUDGET = 102 * 1024 * 1024
+
+
+def v5_hbm_fits(kc: int, num_values: int, *,
+                range_sum: bool = False) -> bool:
+    """Whether the v5-HBM window kernel's per-row scratch fits in VMEM
+    (the 2M-8M regime above `v5_fits`; position/output blocks are
+    chunked and tiny)."""
+    rc = _padded_k(kc + 1) // LANE
+    n_c = (1 if range_sum else 2) + num_values
+    return 4 * LANE * rc * n_c <= V5_HBM_VMEM_BUDGET
+
+
+def _hbm_chunk_count(kp: int) -> int:
+    """(B, chunks) grid sizing for the v5-HBM layout: ~LARGE_K_CHUNK
+    positions per chunk."""
+    return max(1, -(-kp // LARGE_K_CHUNK))
+
+
 def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
-                 pos=None, lower=None):
-    """Shared prep + pallas_call for the v5 window-kernel modes."""
+                 pos=None, lower=None, hbm_chunks=None):
+    """Shared prep + pallas_call for the v5 window-kernel modes.
+
+    `hbm_chunks` switches to the v5-HBM layout (CDF-side arrays in HBM,
+    DMA'd once per batch row into scratch; position side and outputs
+    chunked over a (B, chunks) grid with pipeline-double-buffered
+    blocks) - the 2M-8M single-chip regime."""
     interpret = interpret or FORCE_INTERPRET
     range_sum = lower is not None
     systematic = u is not None
@@ -556,7 +637,12 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
     # take_along(clip(idx))). Without pads that slot would gather 0.
     # Range mode zero-pads (pad slots contribute to no segment).
     kc_pad = _padded_k(kc + 1)
-    kp_pad = _padded_k(kp)
+    if hbm_chunks is not None:
+        # Position chunks must each hold a whole number of aligned
+        # merge tiles.
+        kp_pad = _round_up(kp, hbm_chunks * max(MERGE_ROWS, 8) * LANE)
+    else:
+        kp_pad = _padded_k(kp)
     cdf = jnp.pad(cdf.astype(jnp.float32), ((0, 0), (0, kc_pad - kc)),
                   constant_values=2.0)
     values = [jnp.pad(jnp.asarray(v).astype(jnp.float32),
@@ -607,13 +693,27 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
     # batch row's tables (the 1M-particle rowmax table is 32 KB/row).
     # Tables are [B, 1, W] so the block equals the array's last two
     # dims (Mosaic's block-shape rule).
-    smem = lambda arr: pl.BlockSpec((1,) + arr.shape[1:],
-                                    lambda b: (b, 0, 0),
-                                    memory_space=pltpu.SMEM)
-    c_spec = pl.BlockSpec((rc, LANE), lambda b: (b, 0),
-                          memory_space=pltpu.VMEM)
-    p_spec = pl.BlockSpec((rp, LANE), lambda b: (b, 0),
-                          memory_space=pltpu.VMEM)
+    if hbm_chunks is None:
+        grid = (batch_size,)
+        smem = lambda arr: pl.BlockSpec((1,) + arr.shape[1:],
+                                        lambda b: (b, 0, 0),
+                                        memory_space=pltpu.SMEM)
+        c_spec = pl.BlockSpec((rc, LANE), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+        p_spec = pl.BlockSpec((rp, LANE), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        grid = (batch_size, hbm_chunks)
+        rp_chunk = rp // hbm_chunks
+        smem = lambda arr: pl.BlockSpec((1,) + arr.shape[1:],
+                                        lambda b, c: (b, 0, 0),
+                                        memory_space=pltpu.SMEM)
+        # CDF-side arrays stay in HBM; the kernel DMAs each batch row
+        # once into persistent scratch (see _make_window_kernel).
+        c_spec = pl.BlockSpec(memory_space=pl.ANY)
+        p_spec = pl.BlockSpec((rp_chunk, LANE),
+                              lambda b, c: (b * hbm_chunks + c, 0),
+                              memory_space=pltpu.VMEM)
     starts3 = starts[:, None, :]
     pmax3 = pmax[:, None, :]
     rowmax3 = rowmax[:, None, :]
@@ -656,19 +756,33 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
     # v5e has 128 MB of VMEM.
     n_c = (1 if range_sum else 2) + num_values
     n_p_in = (0 if systematic else 1) + (1 if range_sum else 0)
-    vmem_bytes = 2 * 4 * LANE * (rc * n_c +
-                                 rp * (n_p_in + len(out_shapes)))
-    compiler_params = (pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024)
-        if vmem_bytes > 14 * 1024 * 1024 else None)
+    scratch_shapes = []
+    if hbm_chunks is None:
+        vmem_bytes = 2 * 4 * LANE * (rc * n_c +
+                                     rp * (n_p_in + len(out_shapes)))
+        compiler_params = (pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+            if vmem_bytes > 14 * 1024 * 1024 else None)
+    else:
+        # Single-buffered scratch for the CDF-side row + small chunked
+        # pipeline blocks; 110 MB scope covers 8M particles at one
+        # value column (3 x 32 MB scratch).
+        scratch_shapes = ([pltpu.VMEM((rc, LANE), jnp.float32)] * n_c +
+                          [pltpu.SemaphoreType.DMA((n_c,))])
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024)
     outputs = pl.pallas_call(
         _make_window_kernel(num_values, emit_idx,
                             kp_real=kp if systematic else None,
-                            range_sum=range_sum),
-        grid=(batch_size,),
+                            range_sum=range_sum,
+                            hbm_tiles_per_chunk=(
+                                None if hbm_chunks is None
+                                else (rp // hbm_chunks) // MERGE_ROWS)),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
         compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
@@ -685,39 +799,45 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
 
 def systematic_search_gather_pallas(cdf, u, kp: int, values=(), *,
                                     emit_idx: bool = True,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    hbm_chunks=None):
     """v5 systematic fast path: fused inverse-CDF search + gather with
     IN-KERNEL positions pos[b, j] = (u[b] + j) / kp (the systematic grid
     of `resampling.resampling_positions`, resampling.py:166-168).
 
     cdf: [B, K] already-normalized sorted CDF; u: [B, 1] uniforms;
     values: sequence of [B, K] float columns. Returns (idx | None,
-    [gathered...]).
+    [gathered...]). `hbm_chunks` selects the v5-HBM 2M-8M layout.
     """
-    return _window_call(cdf, values, kp, emit_idx, interpret, u=u)
+    return _window_call(cdf, values, kp, emit_idx, interpret, u=u,
+                        hbm_chunks=hbm_chunks)
 
 
 def sorted_search_gather_pallas(cdf, pos, values=(), *,
                                 emit_idx: bool = True,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                hbm_chunks=None):
     """v5 generalization to ARBITRARY sorted positions (stratified,
     multinomial, soft): same precomputed-window kernel, positions loaded
     from VMEM (W extra relayouts per tile vs the systematic mode; still
     no serial merge cursors). Drop-in replacement for the v1
-    `searchsorted_sorted_cdf_pallas` standard path."""
+    `searchsorted_sorted_cdf_pallas` standard path; `hbm_chunks`
+    selects the v5-HBM 2M-8M layout."""
     return _window_call(cdf, values, pos.shape[1], emit_idx, interpret,
-                        pos=pos)
+                        pos=pos, hbm_chunks=hbm_chunks)
 
 
 def range_sum_pallas(slots, lower, upper, values, *,
                      emit_idx: bool = False,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     hbm_chunks=None):
     """v5 segmented sum: out_j = sum of values over sorted `slots` in
     [lower_j, upper_j) for sorted non-overlapping ranges - the
     transposed-merge backward of the fused gather, in window-kernel
-    form."""
+    form. `hbm_chunks` selects the v5-HBM 2M-8M layout."""
     return _window_call(slots, values, upper.shape[1], emit_idx,
-                        interpret, pos=upper, lower=lower)
+                        interpret, pos=upper, lower=lower,
+                        hbm_chunks=hbm_chunks)
 
 
 def searchsorted_cdf_pallas(log_weight, pos, values=(), *,
@@ -939,13 +1059,17 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
     # f32 summation association shifted ~1e-4 of bin edges vs XLA,
     # caught by bench.py's on-hardware verification.)
     cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
-    if method == "systematic" and v5_fits(k, k, 0, systematic=True):
-        # v5 window kernel (no serial merge cursors).
+    if method == "systematic" and (v5_fits(k, k, 0, systematic=True)
+                                   or v5_hbm_fits(k, 0)):
+        # v5 window kernel (no serial merge cursors); 2M-8M runs the
+        # v5-HBM chunked layout.
         batch_size = log_weight.shape[0]
         u = jax.random.uniform(key, (batch_size, 1),
                                dtype=jnp.result_type(float))
+        hbm_chunks = (None if v5_fits(k, k, 0, systematic=True)
+                      else _hbm_chunk_count(k))
         idx, _ = systematic_search_gather_pallas(
-            cdf, u, k, (), interpret=interpret)
+            cdf, u, k, (), interpret=interpret, hbm_chunks=hbm_chunks)
         return idx
     if v5_fits(k, k, 0):
         pos = _r.resampling_positions(log_weight, key, method)
@@ -1002,6 +1126,13 @@ def gather_backward_pallas(cdf, pos, g_cols, *, chunks: int = 1,
     if chunks == 1 and not hbm_resident:
         _, grads = range_sum_pallas(pos, lower, upper, g_cols,
                                     interpret=interpret)
+    elif hbm_resident and v5_hbm_fits(pos.shape[1], len(g_cols),
+                                      range_sum=True):
+        # v5-HBM range-sum: slots + cotangents DMA'd once per row,
+        # source-edge chunks pipelined (the 2M-8M backward).
+        _, grads = range_sum_pallas(pos, lower, upper, g_cols,
+                                    interpret=interpret,
+                                    hbm_chunks=chunks)
     else:
         grads = searchsorted_sorted_cdf_pallas(
             pos, upper, g_cols, chunks=chunks,
@@ -1063,6 +1194,12 @@ def _rgc_run(chunks, hbm_resident, cdf, pos, columns):
         # v5 window kernel (no serial merge cursors) - also the
         # distributed resampler's per-shard global-CDF search.
         return sorted_search_gather_pallas(cdf, pos, columns)
+    if hbm_resident and v5_hbm_fits(cdf.shape[1], len(columns)):
+        # v5-HBM: CDF-side row DMA'd once into scratch, position/output
+        # chunks pipelined (replaces the v1 two-cursor HBM merge in the
+        # 2M-8M regime).
+        return sorted_search_gather_pallas(cdf, pos, columns,
+                                           hbm_chunks=chunks)
     return searchsorted_sorted_cdf_pallas(
         cdf, pos, columns, chunks=chunks, hbm_resident=hbm_resident)
 
@@ -1106,6 +1243,19 @@ def _systematic_positions(u, kp: int):
     return jnp.minimum(pos, jnp.float32(_BELOW_ONE))
 
 
+def _rgs_run(emit_idx, log_weight, u, columns):
+    from .. import resampling as _r
+
+    k = log_weight.shape[1]
+    cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
+    hbm_chunks = (None if v5_fits(k, k, len(columns), systematic=True,
+                                  emit_idx=emit_idx)
+                  else _hbm_chunk_count(k))
+    idx, gathered = systematic_search_gather_pallas(
+        cdf, u, k, columns, emit_idx=emit_idx, hbm_chunks=hbm_chunks)
+    return cdf, idx, gathered
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def resample_and_gather_systematic(emit_idx, log_weight, u, columns):
     """Differentiable v5 fused systematic resample+gather.
@@ -1115,23 +1265,17 @@ def resample_and_gather_systematic(emit_idx, log_weight, u, columns):
     `u`), so no [B, K] position array is materialized and the kernel
     runs the relayout-free flipped merge. `emit_idx=False` skips the
     ancestor-index computation entirely (inference without lineage).
-    Gradients flow through the gathered values only (reference
-    stop-gradient semantics, /root/reference/aesmc/inference.py:254).
+    Above the v5 VMEM cap (~2M particles) the same call routes to the
+    v5-HBM chunked layout (to ~8M at one value column). Gradients flow
+    through the gathered values only (reference stop-gradient
+    semantics, /root/reference/aesmc/inference.py:254).
     """
-    from .. import resampling as _r
-
-    cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
-    idx, gathered = systematic_search_gather_pallas(
-        cdf, u, log_weight.shape[1], columns, emit_idx=emit_idx)
+    _, idx, gathered = _rgs_run(emit_idx, log_weight, u, columns)
     return idx, tuple(gathered)
 
 
 def _rgs_fwd(emit_idx, log_weight, u, columns):
-    from .. import resampling as _r
-
-    cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
-    idx, gathered = systematic_search_gather_pallas(
-        cdf, u, log_weight.shape[1], columns, emit_idx=emit_idx)
+    cdf, idx, gathered = _rgs_run(emit_idx, log_weight, u, columns)
     return (idx, tuple(gathered)), (cdf, u)
 
 
@@ -1140,7 +1284,13 @@ def _rgs_bwd(emit_idx, residuals, cotangents):
     _, g_gathered = cotangents
     kp = g_gathered[0].shape[1] if g_gathered else cdf.shape[1]
     pos = _systematic_positions(u, kp)
-    return None, None, _gather_backward(cdf, pos, g_gathered)
+    if v5_fits(kp, kp, len(g_gathered), systematic=True,
+               emit_idx=emit_idx):
+        return None, None, _gather_backward(cdf, pos, g_gathered)
+    # v5-HBM forward regime: matching chunked/HBM-resident backward.
+    return None, None, _gather_backward(
+        cdf, pos, g_gathered, chunks=_hbm_chunk_count(kp),
+        hbm_resident=True)
 
 
 resample_and_gather_systematic.defvjp(_rgs_fwd, _rgs_bwd)

@@ -395,12 +395,15 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
             from .ops import resample_pallas
             k = log_weight.shape[1]
             if (method == "systematic"
-                    and resample_pallas.v5_fits(
-                        k, k, len(columns), systematic=True,
-                        emit_idx=need_indices)):
+                    and (resample_pallas.v5_fits(
+                            k, k, len(columns), systematic=True,
+                            emit_idx=need_indices)
+                         or resample_pallas.v5_hbm_fits(
+                            k, len(columns)))):
                 # v5 fast path: same PRNG stream (one uniform per row),
-                # positions rebuilt inside the kernel. Covers up to
-                # ~1-2M particles (whole-row VMEM blocks).
+                # positions rebuilt inside the kernel. Whole-row VMEM
+                # blocks to ~2M particles; the v5-HBM chunked layout
+                # (routed inside resample_and_gather_systematic) to ~8M.
                 batch_size = log_weight.shape[0]
                 u = jax.random.uniform(key, (batch_size, 1),
                                        dtype=jnp.result_type(float))

@@ -269,3 +269,108 @@ class TestWindowKernels:
             assert idx is None
         ref_g = jnp.take_along_axis(v, idx_ref, axis=1)
         np.testing.assert_array_equal(np.asarray(g), np.asarray(ref_g))
+
+
+class TestV5HbmWindowKernels:
+    """v5-HBM chunked layout (round 3, the 2M-8M regime shrunk to test
+    scale): CDF-side arrays DMA'd once per batch row into persistent
+    scratch, positions/outputs chunked over a (B, chunks) grid. Same
+    exactness contract as the VMEM v5 kernels."""
+
+    def _cdf(self, B, K, scale=1.0, seed=0):
+        rng = np.random.RandomState(seed)
+        logw = (rng.randn(B, K) * scale).astype(np.float32)
+        cdf = np.asarray(resampling._normalized_cumsum(
+            jnp.asarray(logw)))
+        return logw, cdf
+
+    def test_systematic_hbm_chunks_interpret(self):
+        B, K, C = 2, 4096, 4
+        logw, cdf = self._cdf(B, K)
+        rng = np.random.RandomState(1)
+        u = rng.rand(B, 1).astype(np.float32)
+        v = rng.randn(B, K).astype(np.float32)
+        pos = np.minimum((u + np.arange(K, dtype=np.float32)) / K,
+                         np.float32(resample_pallas._BELOW_ONE))
+        want = np.clip(np.stack([
+            np.searchsorted(cdf[b], pos[b], side="right")
+            for b in range(B)]), 0, K - 1)
+        idx, (g,) = resample_pallas.systematic_search_gather_pallas(
+            jnp.asarray(cdf), jnp.asarray(u), K, (jnp.asarray(v),),
+            interpret=True, hbm_chunks=C)
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.take_along_axis(v, want, 1))
+
+    def test_systematic_hbm_no_idx_interpret(self):
+        B, K, C = 2, 4096, 2
+        logw, cdf = self._cdf(B, K, seed=3)
+        rng = np.random.RandomState(4)
+        u = rng.rand(B, 1).astype(np.float32)
+        v = rng.randn(B, K).astype(np.float32)
+        pos = np.minimum((u + np.arange(K, dtype=np.float32)) / K,
+                         np.float32(resample_pallas._BELOW_ONE))
+        want = np.clip(np.stack([
+            np.searchsorted(cdf[b], pos[b], side="right")
+            for b in range(B)]), 0, K - 1)
+        idx, (g,) = resample_pallas.systematic_search_gather_pallas(
+            jnp.asarray(cdf), jnp.asarray(u), K, (jnp.asarray(v),),
+            emit_idx=False, interpret=True, hbm_chunks=C)
+        assert idx is None
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.take_along_axis(v, want, 1))
+
+    def test_sorted_hbm_chunks_interpret(self):
+        B, K, C = 2, 4096, 4
+        logw, cdf = self._cdf(B, K, seed=5)
+        rng = np.random.RandomState(6)
+        pos = np.sort(rng.rand(B, K).astype(np.float32), axis=1)
+        v = rng.randn(B, K).astype(np.float32)
+        want = np.clip(np.stack([
+            np.searchsorted(cdf[b], pos[b], side="right")
+            for b in range(B)]), 0, K - 1)
+        idx, (g,) = resample_pallas.sorted_search_gather_pallas(
+            jnp.asarray(cdf), jnp.asarray(pos), (jnp.asarray(v),),
+            interpret=True, hbm_chunks=C)
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.take_along_axis(v, want, 1))
+
+    def test_degenerate_weights_cross_chunk_windows_interpret(self):
+        # All mass on one particle: every chunk's windows collapse onto
+        # the same CDF rows; the DMA'd scratch must serve all chunks.
+        B, K, C = 1, 4096, 4
+        logw = np.full((B, K), -1e9, np.float32)
+        logw[:, 77] = 0.0
+        cdf = np.asarray(resampling._normalized_cumsum(
+            jnp.asarray(logw)))
+        u = np.full((B, 1), 0.25, np.float32)
+        v = np.random.RandomState(7).randn(B, K).astype(np.float32)
+        idx, (g,) = resample_pallas.systematic_search_gather_pallas(
+            jnp.asarray(cdf), jnp.asarray(u), K, (jnp.asarray(v),),
+            interpret=True, hbm_chunks=C)
+        np.testing.assert_array_equal(np.asarray(idx),
+                                      np.full((B, K), 77))
+        np.testing.assert_array_equal(
+            np.asarray(g), np.broadcast_to(v[:, 77:78], (B, K)))
+
+    def test_range_sum_hbm_chunks_interpret(self):
+        # Transposed-merge backward in the chunked HBM layout: exact
+        # segmented sums with integer cotangents.
+        B, K, C = 2, 4096, 4
+        logw, cdf = self._cdf(B, K, seed=8)
+        rng = np.random.RandomState(9)
+        u = rng.rand(B, 1).astype(np.float32)
+        pos = np.minimum((u + np.arange(K, dtype=np.float32)) / K,
+                         np.float32(resample_pallas._BELOW_ONE))
+        idx = np.clip(np.stack([
+            np.searchsorted(cdf[b], pos[b], side="right")
+            for b in range(B)]), 0, K - 1)
+        gint = np.round(rng.randn(B, K) * 3).astype(np.float32)
+        want = np.stack([np.bincount(idx[b], weights=gint[b],
+                                     minlength=K) for b in range(B)])
+        (got,) = resample_pallas.gather_backward_pallas(
+            jnp.asarray(cdf), jnp.asarray(pos), [jnp.asarray(gint)],
+            chunks=C, hbm_resident=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      want.astype(np.float32))
