@@ -595,10 +595,14 @@ def v5_fits(kc: int, kp: int, num_values: int, *,
     return 2 * 4 * LANE * (rc * n_c + rp * n_p) <= V5_VMEM_BUDGET
 
 
-# v5-HBM single-buffered CDF-side scratch budget (within the 110 MB
-# scope, leaving room for the chunked position/output pipeline blocks):
-# covers 8M particles with one value column (3 x 32 MB).
-V5_HBM_VMEM_BUDGET = 102 * 1024 * 1024
+# v5-HBM single-buffered CDF-side scratch budget. Measured cliff on
+# v5e (round-3 sweep, benchmarks/v5_hbm_sweep.py): 72 MB scratch (6M
+# particles, 1 value column) runs at 1.76x the v1 HBM merge, but 96 MB
+# (8M) collapses to 0.30x - the compare planes/pipeline blocks start
+# spilling once scratch crowds the 128 MB VMEM. Cap at 76 MB: 2.5M-6M
+# (and the 2-array range-sum backward to 8M) route here; beyond, the
+# v1 merge remains the fastest known layout.
+V5_HBM_VMEM_BUDGET = 76 * 1024 * 1024
 
 
 def v5_hbm_fits(kc: int, num_values: int, *,

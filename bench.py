@@ -136,8 +136,10 @@ def verify_kernels_on_hardware():
             f"{mism}/{b*k}, gather dev {gdev}")
 
         # v5 systematic kernel (in-kernel positions): must reproduce the
-        # XLA grid bit-exactly, including the f32 division.
-        if rp.v5_fits(k, k, 1, systematic=True):
+        # XLA grid bit-exactly, including the f32 division. Above the
+        # VMEM cap, resample_and_gather_systematic routes to the v5-HBM
+        # chunked layout (round 3) - verified by the same block.
+        if rp.v5_fits(k, k, 1, systematic=True) or rp.v5_hbm_fits(k, 1):
             u = jax.random.uniform(jax.random.PRNGKey(2), (b, 1),
                                    dtype=jnp.result_type(float))
             pos5 = jnp.minimum(
@@ -164,7 +166,13 @@ def verify_kernels_on_hardware():
                 lambda gr, ir: jax.ops.segment_sum(gr, ir,
                                                    num_segments=k)
             )(gint, jnp.asarray(idx5_ref)))
-            (bwd_p,) = rp.gather_backward_pallas(cdf, pos5, [gint])
+            if rp.v5_fits(k, k, 1, systematic=True):
+                (bwd_p,) = rp.gather_backward_pallas(cdf, pos5, [gint])
+            else:
+                # v5-HBM regime: the matching chunked/HBM backward.
+                (bwd_p,) = rp.gather_backward_pallas(
+                    cdf, pos5, [gint], chunks=rp._hbm_chunk_count(k),
+                    hbm_resident=True)
             mb = int((np.asarray(bwd_p) != bwd_ref).sum())
             results[rkey]["bwd_mismatches"] = mb
             log(f"verify K={k} (rangesum backward): mismatched sources "
