@@ -562,7 +562,7 @@ def infer(inference_algorithm: str,
         rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
         times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
         body = jax.checkpoint(step) if remat else step
-        (_, _, _), scan_outs = \
+        (_, _, last_log_weight), scan_outs = \
             jax.lax.scan(body, (latent_buf_0, obs_buf_0, log_weight_0),
                          (rest_obs, times, step_keys[1:]),
                          unroll=scan_unroll)
@@ -716,7 +716,7 @@ def infer(inference_algorithm: str,
         prev_obs = jax.tree_util.tree_map(lambda x: x[:-1], stacked_obs)
         times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
         body = jax.checkpoint(step) if remat else step
-        (last_latent, _), scan_outs = \
+        (last_latent, last_log_weight), scan_outs = \
             jax.lax.scan(body, (latent_0, log_weight_0),
                          (rest_obs, prev_obs, times, step_keys[1:]),
                          unroll=scan_unroll)
@@ -725,6 +725,7 @@ def infer(inference_algorithm: str,
         ancestral_indices = anc if is_smc else None
     else:
         last_latent = latent_0
+        last_log_weight = log_weight_0
         rest_latents = None
         rest_log_weights = None
         nan_flags = None
@@ -740,11 +741,24 @@ def infer(inference_algorithm: str,
         # per-resample guard.
         _checkify_nan_guard(jnp.any(nan_flags))
 
-    original_latents = _stack_time(latent_0, rest_latents)
+    # Stacked [T, ...] outputs are materialized only when an output
+    # actually consumes them: the smc estimator reads the FINAL weights
+    # from the scan carry (`last_log_weight` - the same array the last
+    # stacked entry would hold), so with return_log_weights=False the
+    # scan never stacks [T, B, K] weights at all. Measured on the
+    # device trace (round 3): the two per-step [B, K]
+    # dynamic_update_slice stackings cost ~45 us of the 277 us headline
+    # step.
+    need_original = (return_latents or
+                     (is_smc and return_original_latents))
+    original_latents = (_stack_time(latent_0, rest_latents)
+                        if need_original else None)
     # [T, B, K]: for smc these are the carried (post-resampling-reset)
     # weights - identical to the per-step increments under
     # always-resampling; for is, the per-step increments.
-    log_weights = _stack_time(log_weight_0, rest_log_weights)
+    need_stacked_weights = return_log_weights or not is_smc
+    log_weights = (_stack_time(log_weight_0, rest_log_weights)
+                   if need_stacked_weights else None)
 
     # ---- Estimators. AESMC and IWAE differ exactly in where the
     # logsumexp over particles sits relative to the sum over time
@@ -755,14 +769,14 @@ def infer(inference_algorithm: str,
         if return_log_marginal_likelihood:
             log_marginal_likelihood = (
                 jnp.sum(contributions, axis=0) +
-                jax.nn.logsumexp(log_weights[-1], axis=1) -
+                jax.nn.logsumexp(last_log_weight, axis=1) -
                 log_num_particles)
         else:
             log_marginal_likelihood = None
 
         latents = get_resampled_latents(original_latents, ancestral_indices) \
             if return_latents else None
-        log_weight = log_weights[-1] if return_log_weight else None
+        log_weight = last_log_weight if return_log_weight else None
     else:
         if return_log_marginal_likelihood or return_log_weight:
             total_log_weight = jnp.sum(log_weights, axis=0)  # [B, K]
