@@ -367,6 +367,13 @@ def infer(inference_algorithm: str,
         raise ValueError(
             "soft resampling does not combine with ESS-adaptive "
             "criteria (resample-or-not is already softened)")
+    if (callable(resampling_implementation)
+            and getattr(resampling_implementation, "ot", False)
+            and resampling_method != "ot"):
+        raise ValueError(
+            "got a distributed OT resampler (.ot callable) but "
+            f"resampling_method={resampling_method!r}; pass "
+            "resampling_method='ot' with it")
     if resampling_method == "ot" and inference_algorithm == "smc":
         # Entropy-regularized ensemble-transport resampling (Corenflos
         # et al. 2021): particles are TRANSPORTED, not selected, so
@@ -590,13 +597,21 @@ def infer(inference_algorithm: str,
                 # (blocked online log-Sinkhorn, aesmc_tpu.ot - never
                 # materializes [B, K, K]); weights reset to uniform and
                 # gradients flow through both the transport plan and
-                # the particle values.
+                # the particle values. A callable implementation with
+                # `.ot` (parallel.make_distributed_ot_resampler) runs
+                # the ring-streamed Sinkhorn over the sharded particle
+                # axis instead.
                 from . import ot as _ot
 
-                previous_latent, _ = _ot.ot_resample(
-                    prev_log_weight, prev_latent, epsilon=ot_epsilon,
-                    num_iterations=ot_num_iterations,
-                    block_size=ot_block_size)
+                if callable(resolved_impl) and getattr(resolved_impl,
+                                                       "ot", False):
+                    previous_latent, _ = resolved_impl(prev_log_weight,
+                                                       prev_latent)
+                else:
+                    previous_latent, _ = _ot.ot_resample(
+                        prev_log_weight, prev_latent, epsilon=ot_epsilon,
+                        num_iterations=ot_num_iterations,
+                        block_size=ot_block_size)
                 ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
                 contribution = (
                     jax.nn.logsumexp(prev_log_weight, axis=1) -

@@ -10,6 +10,7 @@ state sharded across chips.
 from .mesh import make_mesh, data_particle_specs
 from .dist_resampling import (
     make_distributed_resampler,
+    make_distributed_ot_resampler,
     make_distributed_systematic_resampler,
     make_distributed_fused_resampler,
     distributed_resampling_indices,
@@ -23,6 +24,7 @@ from .sharded import make_sharded_train_step, shard_batch
 __all__ = [
     "make_mesh", "data_particle_specs",
     "make_distributed_resampler",
+    "make_distributed_ot_resampler",
     "make_distributed_systematic_resampler",
     "make_distributed_fused_resampler",
     "distributed_resampling_indices",

@@ -557,6 +557,44 @@ def make_distributed_fused_resampler(mesh: Mesh,
     return resampler
 
 
+def make_distributed_ot_resampler(mesh: Mesh,
+                                  data_axis: str = "data",
+                                  particle_axis: str = "particle",
+                                  epsilon: float = 0.5,
+                                  num_iterations: int = 50,
+                                  scale_cost: bool = True):
+    """A `(log_weight, value) -> (value, new_log_weight)` callable for
+    `infer(resampling_method='ot', resampling_implementation=...)`:
+    DISTRIBUTED entropy-regularized ensemble-transport resampling over
+    the sharded particle axis (ring-streamed Sinkhorn,
+    `ot.distributed_ot_resample`). Each device does O(K_local *
+    K_global) cost work per update - strong scaling of the O(K^2)
+    total that made single-device OT unusable at config-5 scale.
+    Carries `.ot = True`; epsilon/iterations are bound here (the
+    engine's ot_* knobs are ignored when a callable is given).
+    """
+    from .. import ot as _ot
+
+    def resampler(log_weight, value):
+        leaves, treedef = jax.tree_util.tree_flatten(value)
+        leaf_specs = [P(data_axis, particle_axis,
+                        *([None] * (jnp.ndim(leaf) - 2)))
+                      for leaf in leaves]
+        value_specs = jax.tree_util.tree_unflatten(treedef, leaf_specs)
+        f = jax.shard_map(
+            lambda lw, v: _ot.distributed_ot_resample(
+                lw, v, particle_axis, epsilon=epsilon,
+                num_iterations=num_iterations, scale_cost=scale_cost),
+            mesh=mesh,
+            in_specs=(P(data_axis, particle_axis), value_specs),
+            out_specs=(value_specs, P(data_axis, particle_axis)),
+            check_vma=False)
+        return f(log_weight, value)
+
+    resampler.ot = True
+    return resampler
+
+
 def make_distributed_resampler(mesh: Mesh,
                                data_axis: str = "data",
                                particle_axis: str = "particle",

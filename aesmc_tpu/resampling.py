@@ -291,7 +291,18 @@ def resolve_implementation(shape, method: str, implementation) -> str:
     # cost), pallas from K=512 up (512: 18.9 vs 20.0; 1024: 26 vs 47;
     # 2048: 36 vs 102). Was 4096 in round 1, when the v1 kernel's
     # custom_vjp hit a JAX 0.9.0 MLIR bug below that (resolved by v5).
-    if on_tpu and method in METHODS and shape[-1] >= 512:
+    # Round-3 batch sweep (benchmarks/crossover_probe_r3.py): the K=512
+    # crossover is B-INVARIANT in time (B=10/64/128 all flip at 512 -
+    # both paths scale ~linearly in B) - but the dense path's training
+    # backward stores the [B, K, K] compare mask per timestep, which
+    # EXCEEDS HBM at large B*K^2 (measured: B=128, K=512, T=200 tries a
+    # 26 GB allocation). Route such shapes to the kernel regardless of
+    # the time crossover (the 64 MB/step mask bound keeps T=200
+    # training under ~13 GB).
+    batch = shape[0] if len(shape) > 1 else 1
+    dense_mask_bytes = 4 * batch * shape[-1] * shape[-1]
+    if on_tpu and method in METHODS and (
+            shape[-1] >= 512 or dense_mask_bytes > 64 * 1024 * 1024):
         try:
             from .ops import resample_pallas
             if resample_pallas.AVAILABLE and \

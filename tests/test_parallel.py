@@ -500,3 +500,102 @@ class TestDistributedSoftResampling:
         with pytest.raises(ValueError, match="soft"):
             resampling.soft_resample_and_gather(
                 lw, KEY, value, implementation=plain)
+
+
+class TestDistributedOT:
+    """Ring-streamed distributed Sinkhorn (ot.distributed_ot_resample):
+    the config-5-scale OT path - each device does O(K_local * K_global)
+    cost work per update instead of the full O(K^2)."""
+
+    EPS, ITERS = 0.5, 24
+
+    def _inputs(self):
+        rng = np.random.RandomState(11)
+        lw = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+        value = {"x": jnp.asarray(rng.randn(4, 32).astype(np.float32)),
+                 "y": jnp.asarray(rng.randn(4, 32, 2).astype(np.float32))}
+        return lw, value
+
+    def _single_device(self, lw, value):
+        from aesmc_tpu import ot
+        return ot.ot_resample(lw, value, epsilon=self.EPS,
+                              num_iterations=self.ITERS)
+
+    @pytest.mark.parametrize("dp,pp", [(2, 4), (1, 8)])
+    def test_matches_single_device(self, dp, pp):
+        lw, value = self._inputs()
+        want, _ = self._single_device(lw, value)
+        mesh = parallel.make_mesh(data=dp, particle=pp)
+        dist = parallel.make_distributed_ot_resampler(
+            mesh, epsilon=self.EPS, num_iterations=self.ITERS)
+        got, new_lw = dist(lw, value)
+        for k in value:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]),
+                                       atol=1e-4, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(new_lw),
+                                      np.zeros_like(np.asarray(lw)))
+
+    def test_gradients_match_single_device(self):
+        lw, value = self._inputs()
+
+        def single(lw_, vx):
+            out, _ = self._single_device(lw_, {**value, "x": vx})
+            return jnp.sum(out["x"] ** 2) + jnp.sum(out["y"])
+
+        g_want = jax.grad(single, argnums=(0, 1))(lw, value["x"])
+        mesh = parallel.make_mesh(data=2, particle=4)
+        dist = parallel.make_distributed_ot_resampler(
+            mesh, epsilon=self.EPS, num_iterations=self.ITERS)
+
+        def sharded(lw_, vx):
+            out, _ = dist(lw_, {**value, "x": vx})
+            return jnp.sum(out["x"] ** 2) + jnp.sum(out["y"])
+
+        g = jax.grad(sharded, argnums=(0, 1))(lw, value["x"])
+        for got, want in zip(g, g_want):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-4, rtol=1e-3)
+
+    def test_engine_integration_matches_single_device(self):
+        from aesmc_tpu import inference
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.2)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, 5, 4, KEY)
+        mesh = parallel.make_mesh(data=2, particle=4)
+        dist = parallel.make_distributed_ot_resampler(
+            mesh, epsilon=0.5, num_iterations=self.ITERS)
+        kwargs = dict(key=KEY, resampling_method="ot",
+                      ot_num_iterations=self.ITERS,
+                      return_log_marginal_likelihood=True,
+                      return_latents=False, return_log_weight=False)
+        got = inference.infer(
+            "smc", parallel.shard_batch(obs, mesh), initial, transition,
+            emission, proposal, 32, resampling_implementation=dist,
+            mesh=mesh, **kwargs)
+        want = inference.infer(
+            "smc", obs, initial, transition, emission, proposal, 32,
+            **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(got["log_marginal_likelihood"]),
+            np.asarray(want["log_marginal_likelihood"]), atol=1e-4,
+            rtol=1e-5)
+
+    def test_ot_callable_with_wrong_method_raises(self):
+        from aesmc_tpu import inference
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.2)
+        proposal = lgssm.Proposal.create(1.0, 1.0, KEY)
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, 4, 2, KEY)
+        mesh = parallel.make_mesh(data=1, particle=8)
+        dist = parallel.make_distributed_ot_resampler(mesh)
+        with pytest.raises(ValueError, match="ot"):
+            inference.infer("smc", obs, initial, transition, emission,
+                            proposal, 16, key=KEY,
+                            resampling_method="systematic",
+                            resampling_implementation=dist)

@@ -336,3 +336,25 @@ def test_fused_soft_positions_clamped_like_unfused():
                                    atol=1e-6)
     finally:
         resample_pallas.FORCE_INTERPRET = False
+
+
+def test_resolve_implementation_memory_guard():
+    # B-invariant K=512 time crossover, PLUS the dense-mask memory
+    # guard: shapes whose per-step [B, K, K] compare mask exceeds 64 MB
+    # route to the kernel even below K=512 (measured OOM at B=128,
+    # K=512, T=200 - benchmarks/BENCH_NOTES.md round 3).
+    from unittest import mock
+    from aesmc_tpu import resampling as R
+    from aesmc_tpu.ops import resample_pallas as rp
+    with mock.patch.object(jax, "default_backend", return_value="tpu"), \
+            mock.patch.object(rp, "AVAILABLE", True):
+        assert R.resolve_implementation((10, 256), "systematic",
+                                        "auto") == "xla"
+        assert R.resolve_implementation((10, 512), "systematic",
+                                        "auto") == "pallas"
+        # 4 * 512 * 256^2 = 128 MB > 64 MB -> kernel despite K < 512.
+        assert R.resolve_implementation((512, 256), "systematic",
+                                        "auto") == "pallas"
+        # 4 * 128 * 256^2 = 33 MB -> dense still wins.
+        assert R.resolve_implementation((128, 256), "systematic",
+                                        "auto") == "xla"
