@@ -7,14 +7,16 @@ Extras beyond the reference: a native distribution library, pluggable
 resampling variants, mesh parallelism, checkpointing, and benchmarks.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from . import checkpoint
+from . import csmc
 from . import distributions
 from . import inference
 from . import losses
 from . import math
 from . import models
+from . import ot
 from . import parallel
 from . import profiling
 from . import resampling
@@ -26,7 +28,7 @@ from . import train
 from . import utils
 
 __all__ = [
-    "checkpoint", "distributions", "inference", "losses", "math", "models",
-    "parallel", "profiling", "resampling", "state", "statistics", "train",
-    "utils", "__version__",
+    "checkpoint", "csmc", "distributions", "inference", "losses", "math",
+    "models", "ot", "parallel", "profiling", "resampling", "smoothing",
+    "state", "statistics", "tmc", "train", "utils", "__version__",
 ]
