@@ -134,6 +134,24 @@ def tmc_log_marginal_likelihood(observations, initial, transition,
     if num_timesteps == 1:
         return jax.nn.logsumexp(f0, axis=1) - log_k
 
+    # Resolve 'auto' ONCE, outside the scan, with jax.eval_shape - no
+    # ops enter the (remat'd) scan body. (An earlier in-body trace
+    # probe survived DCE under jax.checkpoint and slowed the step 5x.)
+    resolved_pairwise = pairwise
+    if resolved_pairwise == "auto":
+        def _probe(lat, obs0):
+            time = TimeIndex(jnp.asarray(1, jnp.int32))
+            dist = transition(previous_latents=[_expand_prev(lat)],
+                              time=time, previous_observations=[obs0])
+            return _pairwise_log_prob(
+                dist, _expand_new(jax.tree_util.tree_map(
+                    lambda v: v[:, :1], lat)))
+        try:
+            jax.eval_shape(_probe, latent_0, obs_seq[0])
+            resolved_pairwise = "broadcast"
+        except Exception:
+            resolved_pairwise = "vmap"
+
     def step(carry, inputs):
         prev_latent, f = carry
         obs_t, obs_prev, t, keys_t = inputs
@@ -153,23 +171,14 @@ def tmc_log_marginal_likelihood(observations, initial, transition,
         # Broadcast mode builds the distribution ONCE from [B, K, 1]
         # parents (zero extra compute for arithmetic transitions); vmap
         # mode maps the transition over parents, each seeing a standard
-        # [B, 1, ...] latent (neural transitions). 'auto' probes the
-        # broadcast path at trace time.
-        pair_dist = None
-        if pairwise != "vmap":
-            try:
-                pair_dist = transition(
-                    previous_latents=[_expand_prev(prev_latent)],
-                    time=time, previous_observations=prev_obs_list)
-                # Probe: a [B, 1, 1, ...] child must broadcast to a
-                # [B, K, 1] density (traced only; DCE'd under jit).
-                _pairwise_log_prob(pair_dist, _expand_new(
-                    jax.tree_util.tree_map(lambda x: x[:, :1],
-                                           latent_t)))
-            except Exception:
-                if pairwise == "broadcast":
-                    raise
-                pair_dist = None
+        # [B, 1, ...] latent (neural transitions). 'auto' was resolved
+        # by eval_shape before the scan.
+        if resolved_pairwise == "broadcast":
+            pair_dist = transition(
+                previous_latents=[_expand_prev(prev_latent)],
+                time=time, previous_observations=prev_obs_list)
+        else:
+            pair_dist = None
 
         def pair_logprob(latent_blk):
             """A[b, i, j] = log p(x_t^{j in blk} | x_{t-1}^i)."""
