@@ -629,7 +629,10 @@ def infer(inference_algorithm: str,
                     resampling.soft_resample_and_gather(
                         prev_log_weight, keys_t[0], prev_latent,
                         alpha=soft_resampling_alpha,
-                        implementation=resolved_impl)
+                        implementation=resolved_impl,
+                        need_indices=need_ancestors)
+                if ancestral_index is None:
+                    ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
                 contribution = (
                     jax.nn.logsumexp(prev_log_weight, axis=1) -
                     log_num_particles)

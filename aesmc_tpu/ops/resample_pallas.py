@@ -1088,13 +1088,14 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
         interpret=interpret)
 
 
-def _rg_run(log_weight, pos, columns):
+def _rg_run(emit_idx, log_weight, pos, columns):
     from .. import resampling as _r
 
     # XLA CDF shared with the reference implementation (see
     # sample_ancestral_index_pallas) -> bit-identical indices.
     cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
-    return cdf, sorted_search_gather_pallas(cdf, pos, columns)
+    return cdf, sorted_search_gather_pallas(cdf, pos, columns,
+                                            emit_idx=emit_idx)
 
 
 # Backward implementation for the fused gathers: "pallas" runs the
@@ -1165,31 +1166,38 @@ def _gather_backward(cdf, pos, g_cols, chunks=1, hbm_resident=False):
     return tuple(seg(g) for g in g_cols)
 
 
-@jax.custom_vjp
-def resample_and_gather(log_weight, pos, columns):
-    """Differentiable fused resample+gather: (idx, gathered columns).
-
-    Forward runs the fused kernel. Gradients flow through the gathered
-    VALUES only (the reference's semantics: `torch.gather` is
-    differentiable in its source, ancestor indices and weights are
-    detached, /root/reference/aesmc/inference.py:102-104,254).
-    """
-    _, (idx, gathered) = _rg_run(log_weight, pos, columns)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rg_sorted(emit_idx, log_weight, pos, columns):
+    _, (idx, gathered) = _rg_run(emit_idx, log_weight, pos, columns)
     return idx, tuple(gathered)
 
 
-def _rg_fwd(log_weight, pos, columns):
-    cdf, (idx, gathered) = _rg_run(log_weight, pos, columns)
+def _rg_fwd(emit_idx, log_weight, pos, columns):
+    cdf, (idx, gathered) = _rg_run(emit_idx, log_weight, pos, columns)
     return (idx, tuple(gathered)), (cdf, pos)
 
 
-def _rg_bwd(residuals, cotangents):
+def _rg_bwd(emit_idx, residuals, cotangents):
     cdf, pos = residuals
     _, g_gathered = cotangents
     return None, None, _gather_backward(cdf, pos, g_gathered)
 
 
-resample_and_gather.defvjp(_rg_fwd, _rg_bwd)
+_rg_sorted.defvjp(_rg_fwd, _rg_bwd)
+
+
+def resample_and_gather(log_weight, pos, columns, emit_idx: bool = True):
+    """Differentiable fused resample+gather: (idx | None, gathered).
+
+    Forward runs the fused kernel. Gradients flow through the gathered
+    VALUES only (the reference's semantics: `torch.gather` is
+    differentiable in its source, ancestor indices and weights are
+    detached, /root/reference/aesmc/inference.py:102-104,254).
+    `emit_idx=False` skips the in-kernel index emission (the W extra
+    lane-reduces per tile) when the caller needs neither lineage nor
+    ancestor outputs - e.g. soft-resampling training.
+    """
+    return _rg_sorted(emit_idx, log_weight, pos, columns)
 
 
 def _rgc_run(chunks, hbm_resident, cdf, pos, columns):

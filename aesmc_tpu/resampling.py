@@ -511,7 +511,8 @@ def _soft_tempered_log_weights(log_weight, alpha: float):
 
 
 def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
-                             implementation="auto"):
+                             implementation="auto",
+                             need_indices: bool = True):
     """Soft resampling with the particle gather FUSED into the kernel.
 
     Same estimator as `soft_indices_and_weights` + a separate gather,
@@ -522,7 +523,12 @@ def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
     gathered values; indices/positions stay detached), exactly matching
     the unfused formula.
 
-    Returns (indices - detached, corrected log-weights, resampled value).
+    With `need_indices=False` the fused kernel skips the ancestor-index
+    emission (training without lineage outputs) and indices come back
+    None; the XLA fallback still returns them.
+
+    Returns (indices - detached - or None, corrected log-weights,
+    resampled value).
     """
     log_weight = jnp.asarray(log_weight)
     _check_nan_eager(log_weight)
@@ -558,7 +564,8 @@ def soft_resample_and_gather(log_weight, key, value, alpha: float = 0.5,
             # multinomial_indices(log_q, key).
             pos = resampling_positions(lq_det, key, "multinomial")
             idx, gathered = resample_pallas.resample_and_gather(
-                lq_det, pos, tuple(columns) + (log_w, log_q))
+                lq_det, pos, tuple(columns) + (log_w, log_q),
+                emit_idx=need_indices)
             val_cols = list(gathered[:-2])
             log_w_sel, log_q_sel = gathered[-2], gathered[-1]
             corrected = log_w_sel - jax.lax.stop_gradient(log_q_sel)

@@ -374,3 +374,29 @@ class TestV5HbmWindowKernels:
             chunks=C, hbm_resident=True, interpret=True)
         np.testing.assert_array_equal(np.asarray(got),
                                       want.astype(np.float32))
+
+
+def test_resample_and_gather_emit_idx_false_interpret():
+    # Soft-training path: the sorted fused gather without index
+    # emission must return idx=None and identical gathered values.
+    resample_pallas.FORCE_INTERPRET = True
+    try:
+        rng = np.random.RandomState(2)
+        lw = jnp.asarray(rng.randn(2, 256).astype(np.float32))
+        pos = np.sort(rng.rand(2, 256).astype(np.float32), axis=1)
+        v = jnp.asarray(rng.randn(2, 256).astype(np.float32))
+        idx_t, (g_t,) = resample_pallas.resample_and_gather(
+            lw, jnp.asarray(pos), (v,))
+        idx_f, (g_f,) = resample_pallas.resample_and_gather(
+            lw, jnp.asarray(pos), (v,), emit_idx=False)
+        assert idx_f is None
+        np.testing.assert_array_equal(np.asarray(g_t), np.asarray(g_f))
+        # gradient path with emit_idx=False
+        g = jax.grad(lambda vv: jnp.sum(resample_pallas.resample_and_gather(
+            lw, jnp.asarray(pos), (vv,), emit_idx=False)[1][0]))(v)
+        g_ref = jax.grad(lambda vv: jnp.sum(jnp.take_along_axis(
+            vv, jnp.asarray(idx_t), 1)))(v)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=1e-6)
+    finally:
+        resample_pallas.FORCE_INTERPRET = False
