@@ -249,6 +249,7 @@ def infer(inference_algorithm: str,
           ot_epsilon: float = 0.5,
           ot_num_iterations: int = 20,
           ot_block_size=None,
+          ot_rank=None,
           history_window: int = 1,
           nan_check: bool = False,
           remat: bool = False,
@@ -282,7 +283,10 @@ def infer(inference_algorithm: str,
             ensemble-transport resampling (entropy-regularized
             Sinkhorn, see `ot_epsilon` / `ot_num_iterations`):
             particles are transported rather than selected, so no
-            ancestors exist (lineage outputs unavailable).
+            ancestors exist (lineage outputs unavailable). With
+            `ot_rank=r` the transport uses the SUBQUADRATIC low-rank
+            solver instead (`ot.lowrank_ot_resample`, O(K*r*D) per
+            iteration vs Sinkhorn's O(K^2)) - the large-K option.
         resampling_implementation: 'auto' | 'xla' | 'pallas', or a callable
             `(log_weight, key) -> indices` (e.g. a shard_map distributed
             resampler from `aesmc_tpu.parallel`).
@@ -607,6 +611,17 @@ def infer(inference_algorithm: str,
                                                        "ot", False):
                     previous_latent, _ = resolved_impl(prev_log_weight,
                                                        prev_latent)
+                elif ot_rank is not None:
+                    # Subquadratic low-rank transport (O(K * rank * D)
+                    # per iteration) - the single-chip option at
+                    # particle counts where Sinkhorn's O(K^2) is
+                    # unusable. ot_epsilon is the entropic-OT knob, not
+                    # the low-rank mirror smoothing; the latter uses
+                    # lowrank_ot_resample's own default.
+                    previous_latent, _ = _ot.lowrank_ot_resample(
+                        prev_log_weight, prev_latent, rank=ot_rank,
+                        num_iterations=ot_num_iterations,
+                        key=keys_t[0])
                 else:
                     previous_latent, _ = _ot.ot_resample(
                         prev_log_weight, prev_latent, epsilon=ot_epsilon,

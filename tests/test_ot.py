@@ -168,3 +168,105 @@ def test_blocked_auto_handles_non_divisible_k():
     out, new_lw = ot.ot_resample(lw, x, num_iterations=2)
     assert bool(jnp.isfinite(out).all())
     assert out.shape == x.shape and new_lw.shape == lw.shape
+
+
+class TestLowRankOT:
+    """Subquadratic (low-rank) ensemble-transport resampling: O(K r D)
+    per iteration via the exact rank-(D+2) factorization of the
+    squared-Euclidean cost - the config-5-scale OT option."""
+
+    def _inputs(self, B=2, K=128, D=2, seed=0):
+        rng = np.random.RandomState(seed)
+        lw = jnp.asarray(rng.randn(B, K).astype(np.float32))
+        x = jnp.asarray(rng.randn(B, K, D).astype(np.float32))
+        return lw, x
+
+    def test_approaches_dense_ot_with_rank(self):
+        lw, x = self._inputs()
+        dense, _ = ot.ot_resample(lw, x, epsilon=0.1, num_iterations=100)
+        dense = np.asarray(dense)
+        base = float(np.sqrt(np.mean(
+            (np.asarray(x).mean(1, keepdims=True) - dense) ** 2)))
+        rmses = []
+        for rank in (8, 64):
+            out, new_lw = ot.lowrank_ot_resample(
+                lw, x, rank=rank, num_iterations=60)
+            rmses.append(float(np.sqrt(np.mean(
+                (np.asarray(out) - dense) ** 2))))
+            np.testing.assert_array_equal(
+                np.asarray(new_lw), np.zeros_like(np.asarray(lw)))
+        # Far below the collapse-to-mean baseline, improving with rank.
+        assert rmses[0] < 0.5 * base, (rmses, base)
+        assert rmses[1] < rmses[0], rmses
+
+    def test_mean_approximately_preserved(self):
+        lw, x = self._inputs(seed=3)
+        out, _ = ot.lowrank_ot_resample(lw, x, rank=32,
+                                        num_iterations=60, gamma=1.0)
+        a = np.asarray(jax.nn.softmax(lw, axis=-1))
+        wmean = (a[:, :, None] * np.asarray(x)).sum(1)
+        dev = np.abs(np.asarray(out).mean(1) - wmean).max()
+        assert dev < 5e-3, dev
+
+    def test_degenerate_weights_transport_exactly(self):
+        _, x = self._inputs(B=1)
+        lw = jnp.full((1, 128), -1e9).at[:, 5].set(0.0)
+        out, _ = ot.lowrank_ot_resample(lw, x[:1], rank=16,
+                                        num_iterations=60)
+        np.testing.assert_allclose(
+            np.asarray(out), np.broadcast_to(np.asarray(x)[0:1, 5:6],
+                                             (1, 128, 2)), atol=1e-5)
+
+    def test_outputs_in_convex_hull(self):
+        # Barycentric normalization: every coordinate of every output
+        # lies within the per-batch source range.
+        lw, x = self._inputs(seed=7)
+        out, _ = ot.lowrank_ot_resample(lw, x, rank=16,
+                                        num_iterations=30)
+        out = np.asarray(out)
+        lo = np.asarray(x).min(axis=1, keepdims=True) - 1e-5
+        hi = np.asarray(x).max(axis=1, keepdims=True) + 1e-5
+        assert (out >= lo).all() and (out <= hi).all()
+
+    def test_gradients_flow(self):
+        lw, x = self._inputs(K=64)
+
+        def loss(w, xx):
+            out, _ = ot.lowrank_ot_resample(w, xx, rank=16,
+                                            num_iterations=20)
+            return jnp.sum(out ** 2)
+
+        gw, gx = jax.grad(loss, argnums=(0, 1))(lw, x)
+        for g in (gw, gx):
+            assert np.isfinite(np.asarray(g)).all()
+            assert float(jnp.linalg.norm(g)) > 0
+
+    def test_pytree_values(self):
+        lw, x = self._inputs()
+        value = {"a": x[:, :, 0], "b": x}
+        out, _ = ot.lowrank_ot_resample(lw, value, rank=8,
+                                        num_iterations=20)
+        assert out["a"].shape == (2, 128)
+        assert out["b"].shape == (2, 128, 2)
+
+    def test_engine_integration_ot_rank(self):
+        from aesmc_tpu import losses, statistics
+        from aesmc_tpu.models import lgssm
+        key = jax.random.PRNGKey(0)
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.9, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.3)
+        proposal = lgssm.Proposal.create(1.0, 1.0, key)
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, 6, 3, key)
+
+        def loss_fn(tr):
+            return losses.get_loss(
+                obs, 32, "aesmc", initial, tr, emission, proposal,
+                key=key, resampling_method="ot", ot_rank=8,
+                ot_num_iterations=15)
+
+        loss, grads = jax.value_and_grad(loss_fn)(transition)
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree_util.tree_leaves(grads))
