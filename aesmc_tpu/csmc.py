@@ -1,4 +1,4 @@
-"""Conditional SMC and Particle Gibbs (beyond parity).
+"""PMCMC: conditional SMC, Particle Gibbs, and PMMH (beyond parity).
 
 Conditional SMC (Andrieu, Doucet, Holenstein, "Particle Markov chain
 Monte Carlo methods", JRSS-B 2010) is the SMC sweep that KEEPS a
@@ -37,7 +37,7 @@ from .inference import (ObservationSequence, TimeIndex, _first_leaf,
                         stack_observations)
 
 __all__ = ["csmc_infer", "sample_trajectory", "particle_gibbs_step",
-           "particle_gibbs"]
+           "particle_gibbs", "pmmh"]
 
 
 def _conditional_ancestors(log_weight, key):
@@ -306,3 +306,86 @@ def particle_gibbs(observations, initial, transition, emission, proposal,
     _, (trajectories, lmls) = jax.lax.scan(chain_step,
                                            initial_reference, keys)
     return trajectories, lmls
+
+
+def pmmh(observations, build_components, theta0, log_prior,
+         num_particles: int, num_iterations: int, key=None,
+         step_size=0.1, algorithm: str = "smc",
+         resampling_method: str = "systematic"):
+    """Particle marginal Metropolis-Hastings (Andrieu et al. 2010) over
+    model PARAMETERS - the companion PMCMC kernel to Particle Gibbs:
+    a random-walk MH chain on theta whose acceptance ratio uses the
+    SMC (or IS) log-marginal-likelihood estimate as the exact-target
+    surrogate (pseudo-marginal MCMC: the chain targets the TRUE
+    parameter posterior despite the estimate's noise, because the
+    estimator is unbiased in Z).
+
+    The whole chain is ONE `lax.scan` of jitted SMC sweeps - no
+    per-iteration dispatch.
+
+    Args:
+        observations: list of `[B, ...]` pytrees or stacked pytree
+            (independent sequences; their log-MLs add).
+        build_components: `theta -> (initial, transition, emission,
+            proposal)` - a traceable constructor from the parameter
+            pytree (e.g. flax struct `create`s).
+        theta0: initial parameter pytree (float leaves).
+        log_prior: `theta -> scalar` log prior density.
+        num_particles: SMC particle count per sweep.
+        num_iterations: MH iterations.
+        step_size: random-walk scale - a scalar or a pytree matching
+            theta (per-leaf scales).
+        algorithm: 'smc' (AESMC-style estimate) or 'is' (IWAE-style).
+        resampling_method: forwarded to the sweep.
+
+    Returns:
+        (thetas - pytree with a leading [num_iterations] axis (the
+         chain AFTER each step), log_mls `[num_iterations]`,
+         accept_rate scalar).
+    """
+    from . import inference as _inference
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+    if not isinstance(step_size, (int, float)):
+        step_tree = step_size
+    else:
+        step_tree = jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, step_size), theta0)
+
+    def log_ml(theta, k):
+        comps = build_components(theta)
+        out = _inference.infer(
+            algorithm, observations, *comps, num_particles, key=k,
+            resampling_method=resampling_method,
+            return_log_marginal_likelihood=True, return_latents=False,
+            return_log_weight=False)
+        return jnp.sum(out["log_marginal_likelihood"])
+
+    def mh_step(carry, k):
+        theta, lp = carry
+        k_prop, k_run, k_acc = jax.random.split(k, 3)
+        leaves, treedef = jax.tree_util.tree_flatten(theta)
+        noise_keys = jax.random.split(k_prop, len(leaves))
+        steps = jax.tree_util.tree_leaves(step_tree)
+        prop_leaves = [
+            leaf + s * jax.random.normal(nk, jnp.shape(leaf),
+                                         dtype=jnp.asarray(leaf).dtype)
+            for leaf, s, nk in zip(leaves, steps, noise_keys)]
+        theta_prop = jax.tree_util.tree_unflatten(treedef, prop_leaves)
+        lp_prop = log_ml(theta_prop, k_run) + log_prior(theta_prop)
+        log_u = jnp.log(jax.random.uniform(k_acc, ()))
+        accept = log_u < (lp_prop - lp)
+        new_theta = jax.tree_util.tree_map(
+            lambda p, t: jnp.where(accept, p, t), theta_prop, theta)
+        new_lp = jnp.where(accept, lp_prop, lp)
+        return (new_theta, new_lp), (new_theta, new_lp,
+                                     accept.astype(jnp.float32))
+
+    k_init, k_chain = jax.random.split(key)
+    lp0 = log_ml(theta0, k_init) + log_prior(theta0)
+    keys = jax.random.split(k_chain, num_iterations)
+    _, (thetas, lps, accepts) = jax.lax.scan(mh_step, (theta0, lp0),
+                                             keys)
+    return thetas, lps, jnp.mean(accepts)

@@ -124,3 +124,89 @@ class TestParticleGibbs:
             obs, *comps, num_particles=16, num_iterations=3, key=KEY,
             initial_reference=lat)
         assert np.asarray(trajectories).shape == (3,) + lat.shape
+
+
+class TestPmmh:
+    """Particle marginal Metropolis-Hastings: the pseudo-marginal chain
+    over model parameters must target the TRUE parameter posterior
+    (computable exactly on the LGSSM via the Kalman likelihood)."""
+
+    def test_recovers_exact_parameter_posterior(self):
+        T, B = 30, 1
+        emission_scale = 0.5
+        true_mult = 0.8
+        key = jax.random.PRNGKey(2)
+        initial = lgssm.Initial(0.0, 1.0)
+        emission = lgssm.Emission.create(1.0, emission_scale)
+        # Near-optimal proposal (sigma^2 = 1/(1/q^2 + c^2/r^2) = 0.2 at
+        # q=1, c=1, r=0.5): a mismatched proposal inflates the lml
+        # estimator noise to ~10 nats at K=256 and a pseudo-marginal
+        # chain sticks; with this one the noise is <1 nat.
+        sig = float(np.sqrt(0.2))
+        proposal = lgssm.Proposal(
+            lin_0_weight=jnp.asarray(0.8), lin_0_bias=jnp.asarray(0.0),
+            lin_t_weight=jnp.asarray([0.2 * true_mult, 0.8]),
+            lin_t_bias=jnp.asarray(0.0), scale_0=sig, scale_t=sig)
+        _, obs = statistics.sample_from_prior(
+            initial, lgssm.Transition.create(true_mult, 1.0), emission,
+            T, B, key)
+
+        def build(theta):
+            # Direct construction (create() coerces to host floats -
+            # not traceable under the MH scan).
+            return (initial, lgssm.Transition(mult=theta["mult"],
+                                              scale=1.0),
+                    emission, proposal)
+
+        def log_prior(theta):
+            return -0.5 * theta["mult"] ** 2          # N(0, 1)
+
+        thetas, lps, acc = csmc.pmmh(
+            obs, build, {"mult": jnp.asarray(0.2)}, log_prior,
+            num_particles=256, num_iterations=1500,
+            key=jax.random.PRNGKey(7), step_size=0.15)
+        assert 0.05 < float(acc) < 0.95, float(acc)
+        chain = np.asarray(thetas["mult"])[300:]
+
+        # Exact posterior on a grid via the Kalman likelihood.
+        grid = np.linspace(0.4, 1.2, 161)
+        obs_np = np.asarray(obs)[:, 0]
+        log_post = np.array([
+            kalman.kalman_filter(
+                obs_np, kalman.KalmanParams(
+                    0.0, 1.0, float(m), 0.0, 1.0, 1.0, 0.0,
+                    emission_scale ** 2))[4] - 0.5 * m ** 2
+            for m in grid])
+        w = np.exp(log_post - log_post.max())
+        w /= w.sum()
+        exact_mean = float((grid * w).sum())
+        exact_std = float(np.sqrt(((grid - exact_mean) ** 2 * w).sum()))
+
+        assert abs(chain.mean() - exact_mean) < max(0.06, exact_std), \
+            (chain.mean(), exact_mean, exact_std)
+        assert 0.4 < chain.std() / exact_std < 2.5, \
+            (chain.std(), exact_std)
+
+    def test_pytree_theta_and_is_mode(self):
+        T, B = 8, 2
+        key = jax.random.PRNGKey(0)
+        initial = lgssm.Initial(0.0, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.3)
+        proposal = lgssm.Proposal.create(1.0, 1.0, key)
+        _, obs = statistics.sample_from_prior(
+            initial, lgssm.Transition.create(0.9, 1.0), emission, T, B,
+            key)
+
+        def build(theta):
+            return (initial,
+                    lgssm.Transition(mult=theta["a"], scale=1.0),
+                    lgssm.Emission(mult=theta["c"], scale=0.3),
+                    proposal)
+
+        thetas, lps, acc = csmc.pmmh(
+            obs, build, {"a": jnp.asarray(0.5), "c": jnp.asarray(1.0)},
+            lambda th: -0.5 * (th["a"] ** 2 + th["c"] ** 2),
+            num_particles=32, num_iterations=20, algorithm="is",
+            step_size={"a": 0.1, "c": 0.05})
+        assert np.asarray(thetas["a"]).shape == (20,)
+        assert np.isfinite(np.asarray(lps)).all()
