@@ -105,6 +105,29 @@ def main():
     print(f"VRNN T={T} B={B} K={K} aesmc loss: {dt*1e3:.2f} ms = "
           f"{B*K*T/dt/1e6:.1f} M particle-steps/s", flush=True)
 
+    # Particle Gibbs (PGAS) sweep rate - the posterior-sampling module.
+    from aesmc_tpu import csmc, statistics as astats
+    from aesmc_tpu.models import lgssm as _lgssm
+    T, B, K = 50, 4, 256
+    initial = _lgssm.Initial(0.0, 1.0)
+    transition = _lgssm.Transition.create(0.9, 1.0)
+    emission = _lgssm.Emission.create(1.0, 0.2)
+    proposal = _lgssm.Proposal.create(1.0, 1.0, key)
+    lat, obs = astats.sample_from_prior(initial, transition, emission,
+                                        T, B, key)
+
+    def pg_step(carry):
+        ref, k = carry
+        k, sub = jax.random.split(k)
+        new_ref, _ = csmc.particle_gibbs_step(
+            ref, obs, initial, transition, emission, proposal, K, sub,
+            ancestor_sampling=True)
+        return new_ref, k
+
+    dt = timed_chained(pg_step, (jnp.asarray(lat), key))
+    print(f"Particle Gibbs (PGAS) T={T} B={B} K={K}: {dt*1e3:.2f} ms/"
+          f"sweep = {1/dt:.1f} sweeps/s", flush=True)
+
 
 if __name__ == "__main__":
     main()
