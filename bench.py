@@ -54,11 +54,17 @@ def timed(fn, *args, repeats=5):
     return stdstats.median(times)
 
 
-def timed_chained(make_step, init, repeats=3, chain=5):
+def timed_chained(make_step, init, repeats=3, chain=40):
     """Sustained on-device seconds per step: runs `chain` data-dependent
     steps inside ONE jitted scan and fetches a single scalar, so the
     ~28 ms relay round-trip of this environment amortizes away (the
     sustained-throughput number a production loop would see).
+
+    Round-3 correction: chain=5 still carried the fetch at ~10-80% of
+    the reported number for sub-10 ms calls (a [16,256] VRNN call is
+    1.9 ms on the device plane but measured 8.8 at chain=5, 2.2 at
+    chain=100). Default raised to 40 so per-measurement device time
+    >> the relay round-trip.
 
     make_step: (carry) -> carry, with a scalar-reducible carry.
     """
@@ -288,7 +294,7 @@ def main():
         return comps_, opt_state_, k
 
     dt5 = timed_chained(soft_chain, (comps, opt_state5, key),
-                        repeats=3, chain=3)
+                        repeats=3, chain=5)
     log(f"config-5 soft train step T={T5} B={B5} K={K5:,}: "
         f"{dt5*1e3:.1f} ms/step (sustained) = "
         f"{B5*K5*T5/dt5/1e6:.1f} M particle-steps/s through the "

@@ -21,7 +21,7 @@ import jax.numpy as jnp  # noqa: E402
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def timed_chained(make_step, init, repeats=3, chain=5):
+def timed_chained(make_step, init, repeats=3, chain=40):
     @jax.jit
     def run(carry):
         def body(c, _):
