@@ -242,6 +242,7 @@ def infer(inference_algorithm: str,
           proposal,
           num_particles: int,
           key=None,
+          lookahead=None,
           resampling_method: str = "systematic",
           resampling_implementation: str = "auto",
           resampling_criterion="always",
@@ -273,6 +274,23 @@ def infer(inference_algorithm: str,
             docstring). `transition` may be None when T == 1.
         num_particles: number of particles K.
         key: JAX PRNG key (defaults to PRNGKey(0) for convenience).
+        lookahead: optional callable
+            `(previous_latents, time, observations) -> [batch, K]`
+            log-scores turning SMC into an AUXILIARY particle filter
+            (Pitt & Shephard 1999). At each resampling step the
+            engine resamples from first-stage weights
+            `w_t * exp(lookahead)` - scores approximating
+            p(y_t | x_{t-1}) steer ancestors toward particles likely
+            to explain the NEXT observation - and exactly corrects
+            the post-resampling weights (base
+            `lse(logw+nu) - lse(logw) - nu[a]`), so the log-Z
+            estimator stays unbiased for ANY score function. With a
+            constant score this reduces bit-exactly to plain SMC.
+            The callable sees the same arguments as `transition`
+            minus previous_observations, with PRE-resampling
+            latents; scores gather through the same fused kernel as
+            the particles. smc + discrete resampling methods only
+            (not in the reference - standard APF).
         resampling_method: 'systematic' | 'stratified' | 'multinomial' |
             'soft' | 'ot' (smc only; the reference is systematic-only).
             'soft' is differentiable resampling: ancestors from the
@@ -371,6 +389,17 @@ def infer(inference_algorithm: str,
         raise ValueError(
             "soft resampling does not combine with ESS-adaptive "
             "criteria (resample-or-not is already softened)")
+    if lookahead is not None:
+        if inference_algorithm != "smc":
+            raise ValueError(
+                "lookahead (auxiliary particle filter) requires "
+                "inference_algorithm='smc' - importance sampling never "
+                "resamples, so there is nothing to steer")
+        if resampling_method in ("soft", "ot"):
+            raise ValueError(
+                "lookahead does not combine with differentiable "
+                f"resampling_method={resampling_method!r}; use a "
+                "discrete method (systematic/stratified/multinomial)")
     if (callable(resampling_implementation)
             and getattr(resampling_implementation, "ot", False)
             and resampling_method != "ot"):
@@ -484,6 +513,28 @@ def infer(inference_algorithm: str,
             step_nan = (jnp.any(jnp.isnan(prev_log_weight))
                         if (nan_check and is_smc) else None)
 
+            if is_smc and lookahead is not None:
+                # Auxiliary PF over the windowed history: twisted
+                # first-stage weights; exact correction below. The
+                # lookahead sees PRE-resampling latents (like the
+                # Markov branch, which passes [prev_latent]).
+                log_nu = jnp.asarray(lookahead(
+                    previous_latents=buf_slices(latent_buf), time=time,
+                    observations=obs_seq))
+                resample_weight = prev_log_weight + log_nu
+            else:
+                log_nu = None
+                resample_weight = prev_log_weight
+
+            def apf_base(indices):
+                if log_nu is None:
+                    return jnp.zeros_like(prev_log_weight)
+                nu_a = jnp.take_along_axis(log_nu, indices, axis=1)
+                return (jax.nn.logsumexp(resample_weight, axis=1,
+                                         keepdims=True) -
+                        jax.nn.logsumexp(prev_log_weight, axis=1,
+                                         keepdims=True) - nu_a)
+
             if is_smc and resampling_method == "soft":
                 ancestral_index, corrected = \
                     resampling.soft_indices_and_weights(
@@ -495,16 +546,16 @@ def infer(inference_algorithm: str,
                 base = corrected
             elif is_smc and not adaptive:
                 ancestral_index = resampling.sample_ancestral_index(
-                    prev_log_weight, keys_t[0],
+                    resample_weight, keys_t[0],
                     method=resampling_method,
                     implementation=resolved_impl)
                 contribution = (
                     jax.nn.logsumexp(prev_log_weight, axis=1) -
                     log_num_particles)
-                base = jnp.zeros_like(prev_log_weight)
+                base = apf_base(ancestral_index)
             elif is_smc:
                 sampled = resampling.sample_ancestral_index(
-                    prev_log_weight, keys_t[0],
+                    resample_weight, keys_t[0],
                     method=resampling_method,
                     implementation=resolved_impl)
                 ess = jnp.exp(
@@ -520,8 +571,7 @@ def infer(inference_algorithm: str,
                     jax.nn.logsumexp(prev_log_weight, axis=1) -
                     log_num_particles,
                     jnp.zeros_like(ess))
-                base = jnp.where(do[:, None],
-                                 jnp.zeros_like(prev_log_weight),
+                base = jnp.where(do[:, None], apf_base(sampled),
                                  prev_log_weight)
             else:
                 ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
@@ -657,18 +707,40 @@ def infer(inference_algorithm: str,
                 # when the pallas implementation is active. When the
                 # caller requests neither lineage nor ancestor outputs,
                 # the v5 systematic kernel skips the index computation.
-                ancestral_index, previous_latent = \
-                    resampling.sample_ancestral_index_and_resample(
-                        prev_log_weight, keys_t[0], prev_latent,
-                        method=resampling_method,
-                        implementation=resolved_impl,
-                        need_indices=need_ancestors)
+                if lookahead is not None:
+                    # Auxiliary PF: resample from the TWISTED weights
+                    # w * exp(nu) and start the next weights from the
+                    # exact correction lse(logw+nu) - lse(logw) - nu[a]
+                    # (with nu == const this is identically 0, i.e.
+                    # plain SMC). nu rides the fused gather as one
+                    # extra value column.
+                    log_nu = jnp.asarray(lookahead(
+                        previous_latents=[prev_latent], time=time,
+                        observations=obs_seq))
+                    first_stage = prev_log_weight + log_nu
+                    ancestral_index, (previous_latent, nu_a) = \
+                        resampling.sample_ancestral_index_and_resample(
+                            first_stage, keys_t[0], (prev_latent, log_nu),
+                            method=resampling_method,
+                            implementation=resolved_impl,
+                            need_indices=need_ancestors)
+                    base = (jax.nn.logsumexp(first_stage, axis=1,
+                                             keepdims=True) -
+                            jax.nn.logsumexp(prev_log_weight, axis=1,
+                                             keepdims=True) - nu_a)
+                else:
+                    ancestral_index, previous_latent = \
+                        resampling.sample_ancestral_index_and_resample(
+                            prev_log_weight, keys_t[0], prev_latent,
+                            method=resampling_method,
+                            implementation=resolved_impl,
+                            need_indices=need_ancestors)
+                    base = jnp.zeros_like(prev_log_weight)
                 if ancestral_index is None:
                     ancestral_index = jnp.zeros((0,), dtype=jnp.int32)
                 contribution = (
                     jax.nn.logsumexp(prev_log_weight, axis=1) -
                     log_num_particles)
-                base = jnp.zeros_like(prev_log_weight)
             elif is_smc:
                 # Adaptive: per-batch-row decision - resample only rows
                 # whose ESS fell below the threshold; others carry
@@ -682,12 +754,36 @@ def infer(inference_algorithm: str,
                 # path then costs one extra [B, K] select per column
                 # over the always-resample path instead of the full
                 # index emission (round-2 VERDICT weak item 1).
-                sampled, resampled = \
-                    resampling.sample_ancestral_index_and_resample(
-                        prev_log_weight, keys_t[0], prev_latent,
-                        method=resampling_method,
-                        implementation=resolved_impl,
-                        need_indices=need_ancestors)
+                if lookahead is not None:
+                    # Adaptive auxiliary PF: twisted first-stage
+                    # weights for rows that resample; the ESS decision
+                    # itself reads the UNtwisted weights (resampling
+                    # urgency is about weight degeneracy, not the
+                    # lookahead). See the non-adaptive branch.
+                    log_nu = jnp.asarray(lookahead(
+                        previous_latents=[prev_latent], time=time,
+                        observations=obs_seq))
+                    first_stage = prev_log_weight + log_nu
+                    sampled, (resampled, nu_a) = \
+                        resampling.sample_ancestral_index_and_resample(
+                            first_stage, keys_t[0],
+                            (prev_latent, log_nu),
+                            method=resampling_method,
+                            implementation=resolved_impl,
+                            need_indices=need_ancestors)
+                    resampled_base = (
+                        jax.nn.logsumexp(first_stage, axis=1,
+                                         keepdims=True) -
+                        jax.nn.logsumexp(prev_log_weight, axis=1,
+                                         keepdims=True) - nu_a)
+                else:
+                    sampled, resampled = \
+                        resampling.sample_ancestral_index_and_resample(
+                            prev_log_weight, keys_t[0], prev_latent,
+                            method=resampling_method,
+                            implementation=resolved_impl,
+                            need_indices=need_ancestors)
+                    resampled_base = jnp.zeros_like(prev_log_weight)
                 ess = jnp.exp(
                     2 * jax.nn.logsumexp(prev_log_weight, axis=1) -
                     jax.nn.logsumexp(2 * prev_log_weight, axis=1))
@@ -705,8 +801,7 @@ def infer(inference_algorithm: str,
                     jax.nn.logsumexp(prev_log_weight, axis=1) -
                     log_num_particles,
                     jnp.zeros_like(ess))                         # [B]
-                base = jnp.where(do[:, None],
-                                 jnp.zeros_like(prev_log_weight),
+                base = jnp.where(do[:, None], resampled_base,
                                  prev_log_weight)
 
                 def select(res, orig):

@@ -131,6 +131,39 @@ class Proposal:
                 batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
 
 
+@struct.dataclass
+class Lookahead:
+    """Exact one-step predictive log p(y_t | x_{t-1}) for the auxiliary PF.
+
+    For the LGSSM the APF lookahead score has a closed form:
+    y_t | x_{t-1} ~ N(em * tr * x_{t-1}, em^2 * tr_scale^2 + em_scale^2).
+    Pass as `infer(..., lookahead=Lookahead.create(...))`; this is the
+    FULLY-ADAPTED auxiliary particle filter for this model (no reference
+    counterpart - the reference resamples blindly).
+    """
+
+    transition_mult: Any
+    emission_mult: Any
+    transition_scale: float = struct.field(pytree_node=False)
+    emission_scale: float = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, transition_mult, transition_scale, emission_mult,
+               emission_scale):
+        return cls(transition_mult=jnp.asarray(float(transition_mult)),
+                   emission_mult=jnp.asarray(float(emission_mult)),
+                   transition_scale=float(transition_scale),
+                   emission_scale=float(emission_scale))
+
+    def __call__(self, previous_latents=None, time=None, observations=None):
+        loc = (self.emission_mult * self.transition_mult *
+               previous_latents[-1])                         # [B, K]
+        scale = jnp.sqrt((self.emission_mult * self.transition_scale) ** 2 +
+                         self.emission_scale ** 2)
+        obs_t = observations[time]                           # [B]
+        return dists.Normal(loc, scale).log_prob(obs_t[:, None])
+
+
 def optimal_proposal_scales(initial_scale, transition_scale, emission_mult,
                             emission_scale):
     """Analytically optimal proposal stds for the LGSSM
