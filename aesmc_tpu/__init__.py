@@ -20,6 +20,7 @@ from . import ot
 from . import parallel
 from . import profiling
 from . import resampling
+from . import smc2
 from . import state
 from . import smoothing
 from . import tmc
@@ -29,6 +30,7 @@ from . import utils
 
 __all__ = [
     "checkpoint", "csmc", "distributions", "inference", "losses", "math",
-    "models", "ot", "parallel", "profiling", "resampling", "smoothing",
+    "models", "ot", "parallel", "profiling", "resampling", "smc2",
+    "smoothing",
     "state", "statistics", "tmc", "train", "utils", "__version__",
 ]
