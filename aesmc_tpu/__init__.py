@@ -19,6 +19,7 @@ from . import models
 from . import ot
 from . import parallel
 from . import profiling
+from . import rbpf
 from . import resampling
 from . import smc2
 from . import state
@@ -30,7 +31,7 @@ from . import utils
 
 __all__ = [
     "checkpoint", "csmc", "distributions", "inference", "losses", "math",
-    "models", "ot", "parallel", "profiling", "resampling", "smc2",
+    "models", "ot", "parallel", "profiling", "rbpf", "resampling", "smc2",
     "smoothing",
     "state", "statistics", "tmc", "train", "utils", "__version__",
 ]

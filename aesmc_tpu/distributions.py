@@ -219,12 +219,15 @@ class Categorical(Distribution):
     def log_prob(self, value):
         log_probs = jax.nn.log_softmax(jnp.asarray(self.logits), axis=-1)
         value = jnp.asarray(value).astype(jnp.int32)
-        return jnp.take_along_axis(
-            log_probs,
-            jnp.broadcast_to(
-                value, jnp.broadcast_shapes(value.shape,
-                                            log_probs.shape[:-1]))[..., None],
-            axis=-1)[..., 0]
+        # Broadcast BOTH ways: scalar-batch logits against batched
+        # values (e.g. an untagged prior scored at [B, K] samples) and
+        # batched logits against scalar values.
+        batch = jnp.broadcast_shapes(value.shape, log_probs.shape[:-1])
+        log_probs = jnp.broadcast_to(log_probs,
+                                     batch + log_probs.shape[-1:])
+        value = jnp.broadcast_to(value, batch)
+        return jnp.take_along_axis(log_probs, value[..., None],
+                                   axis=-1)[..., 0]
 
 
 @struct.dataclass

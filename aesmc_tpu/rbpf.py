@@ -1,0 +1,313 @@
+"""Rao-Blackwellized particle filter (marginalized PF, beyond parity).
+
+For conditionally linear-Gaussian state-space models
+
+    u_t ~ f(. | u_{t-1})                      (nonlinear latent)
+    x_t = A(u_t) x_{t-1} + b(u_t) + N(0, Q(u_t))
+    y_t = C(u_t) x_t     + d(u_t) + N(0, R(u_t))
+
+the linear substate x can be EXACTLY marginalized per particle: each
+particle carries (u, m, P) where (m, P) are the Kalman filtering
+moments of x given that particle's u-history, and the particle weight
+is the exact predictive likelihood N(y_t; C m_pred + d,
+C P_pred C^T + R) (Doucet, de Freitas, Murphy, Russell, "Rao-
+Blackwellised particle filtering for dynamic Bayesian networks", UAI
+2000; Schon, Gustafsson, Nordlund 2005). Sampling only u collapses the
+importance-sampling space from dim(u)+dim(x) to dim(u) — a strict
+variance reduction over the plain particle filter on the joint state
+(Rao-Blackwell theorem). The reference package
+(/root/reference/aesmc/inference.py) has no marginalized filter; its
+SMC always samples the full latent.
+
+TPU shape: ONE `jax.lax.scan` over time; the per-particle Kalman
+recursion is batched [B, K] einsums + batched Cholesky factorizations
+(MXU matmuls, no per-particle loop). ESS-triggered resampling mixes
+identity/resampled rows per batch row with a single gather. Validated
+two ways (tests/test_rbpf.py): with u-independent linear parameters the
+log-evidence equals the exact N-dim Kalman likelihood for ANY K and
+seed (the weights are particle-independent), and on a 2-regime
+switching LGSSM the evidence and regime posteriors match exhaustive
+enumeration over all 2^T regime paths.
+"""
+
+from __future__ import annotations
+
+import math as _stdmath
+
+import jax
+import jax.numpy as jnp
+
+from . import resampling, state
+from .inference import (ObservationSequence, TimeIndex, _first_leaf,
+                        stack_observations)
+
+__all__ = ["rbpf"]
+
+
+def _sample_dist(distribution, batch_size, num_particles, key):
+    """`state.sample`'s shape dispatch, but via `.sample` so that
+    non-reparameterized nonlinear latents (Categorical regimes,
+    Bernoulli switches) are allowed — the RBPF is not differentiated
+    through its u-samples."""
+    if isinstance(distribution, dict):
+        keys = jax.random.split(key, len(distribution))
+        return {k: _sample_dist(v, batch_size, num_particles, sk)
+                for (k, v), sk in zip(distribution.items(), keys)}
+    mode = state.get_batch_shape_mode(distribution, batch_size,
+                                      num_particles)
+    if mode == state.BatchShapeMode.NOT_EXPANDED:
+        sample_shape = (batch_size, num_particles)
+    elif mode == state.BatchShapeMode.BATCH_EXPANDED:
+        sample_shape = (num_particles,)
+    else:
+        sample_shape = ()
+    result = distribution.sample(key, sample_shape)
+    if mode == state.BatchShapeMode.BATCH_EXPANDED:
+        return jnp.swapaxes(result, 0, 1)
+    return result
+
+
+def _tag_mode(distribution, batch_size, num_particles):
+    """Tag `[B, K, ...]`-batched component distributions FULLY_EXPANDED
+    explicitly — inside the filter the leading axes are unambiguous, so
+    the reference-mirroring ambiguity warning would be noise."""
+    if isinstance(distribution, dict):
+        return {k: _tag_mode(v, batch_size, num_particles)
+                for k, v in distribution.items()}
+    if getattr(distribution, "batch_shape_mode", None) is None:
+        bs = tuple(distribution.batch_shape)
+        if len(bs) >= 2 and bs[0] == batch_size and \
+                bs[1] == num_particles:
+            return state.set_batch_shape_mode(
+                distribution, state.BatchShapeMode.FULLY_EXPANDED)
+    return distribution
+
+
+def _bc(x, shape):
+    return jnp.broadcast_to(jnp.asarray(x), shape)
+
+
+def _mv(a, v):
+    """Batched matrix @ vector over arbitrary leading dims."""
+    return jnp.einsum("...ij,...j->...i", a, v)
+
+
+def _mm(a, b):
+    return jnp.einsum("...ij,...jk->...ik", a, b)
+
+
+def _gaussian_update(m_pred, p_pred, c, d, r, y):
+    """One batched Kalman measurement update.
+
+    m_pred [B,K,D], p_pred [B,K,D,D], c [B,K,Do,D], d [B,K,Do],
+    r [B,K,Do,Do], y [B,Do] -> (log_lik [B,K], m [B,K,D], p [B,K,D,D]).
+    """
+    do = c.shape[-2]
+    innovation = y[:, None, :] - (_mv(c, m_pred) + d)        # [B,K,Do]
+    pc_t = _mm(p_pred, jnp.swapaxes(c, -1, -2))              # [B,K,D,Do]
+    s = _mm(c, pc_t) + r                                     # [B,K,Do,Do]
+    s = 0.5 * (s + jnp.swapaxes(s, -1, -2))
+    chol = jnp.linalg.cholesky(s)
+    # Solve S z = innovation and S X = C P_pred via the factor.
+    solve = jax.scipy.linalg.cho_solve((chol, True),
+                                       innovation[..., None])[..., 0]
+    gain = jnp.swapaxes(
+        jax.scipy.linalg.cho_solve((chol, True),
+                                   jnp.swapaxes(pc_t, -1, -2)),
+        -1, -2)                                              # [B,K,D,Do]
+    log_det = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    log_lik = -0.5 * (log_det + jnp.sum(innovation * solve, axis=-1) +
+                      do * _stdmath.log(2.0 * _stdmath.pi))
+    m = m_pred + _mv(gain, innovation)
+    p = p_pred - _mm(gain, jnp.swapaxes(pc_t, -1, -2))
+    p = 0.5 * (p + jnp.swapaxes(p, -1, -2))
+    return log_lik, m, p
+
+
+def rbpf(observations, initial, transition, linear_initial,
+         linear_dynamics, linear_emission, num_particles: int,
+         key=None, proposal=None, ess_threshold: float = 1.0,
+         resampling_method: str = "systematic",
+         return_history: bool = False):
+    """Runs the Rao-Blackwellized particle filter.
+
+    Args:
+        observations: `[T, B, Do]` array (or `[T, B]`, treated as
+            Do=1), or a list of `[B, Do]` arrays, reference-style.
+        initial: `() -> Distribution` over u_0 (any distribution —
+            Categorical regimes allowed; no rsample requirement).
+        transition: `(previous_latents=[u_prev], time) -> Distribution`
+            over u_t given `u_prev [B, K, ...]` — the engine's
+            transition contract (SURVEY §2.1; reference signature
+            /root/reference/aesmc/inference.py:195-210).
+        linear_initial: `(u0) -> (m0, P0)` — prior moments of x_0 given
+            u_0, broadcastable to `[B, K, D]` / `[B, K, D, D]`.
+        linear_dynamics: `(u, time) -> (A, b, Q)` broadcastable to
+            `[B, K, D, D]` / `[B, K, D]` / `[B, K, D, D]`.
+        linear_emission: `(u, time) -> (C, d, R)` broadcastable to
+            `[B, K, Do, D]` / `[B, K, Do]` / `[B, K, Do, Do]`.
+        num_particles: K.
+        key: PRNG key.
+        proposal: optional u-proposal with the engine's proposal
+            contract (`(time, observations)` at t=0 and
+            `(previous_latents, time, observations)` after); the exact
+            prior/proposal density correction is applied. None =
+            bootstrap (propose from `initial` / `transition`).
+        ess_threshold: resample a batch row when its ESS <= threshold *
+            K. The default 1.0 resamples every step (uniform weights
+            have ESS = K); 0.0 never resamples.
+        resampling_method: 'systematic' | 'stratified' | 'multinomial'.
+        return_history: also return per-step particles and moments.
+
+    Returns:
+        dict:
+          log_marginal_likelihood: `[B]` exact-marginalized evidence
+              estimate log p_hat(y_{0:T-1}).
+          nonlinear_latents: u_T `[B, K, ...]` (final).
+          linear_means / linear_covs: `[B, K, D]` / `[B, K, D, D]`.
+          log_weight: `[B, K]` final unnormalized log-weights.
+          filtered_means: `[T, B, D]` the Rao-Blackwellized posterior
+              mean E[x_t | y_{0:t}] (weight-averaged particle means).
+          (return_history) nonlinear_latents_history `[T, B, K, ...]`,
+          linear_means_history `[T, B, K, D]`, log_weights_history
+          `[T, B, K]`.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if num_particles < 1:
+        raise ValueError(
+            f"num_particles must be >= 1. currently = {num_particles}")
+    if not 0.0 <= float(ess_threshold) <= 1.0:
+        raise ValueError(
+            f"ess_threshold must be in [0, 1]. "
+            f"currently = {ess_threshold}")
+    stacked_obs = stack_observations(observations)
+    obs_arr = jnp.asarray(_first_leaf(stacked_obs))
+    if obs_arr.ndim == 2:
+        obs_arr = obs_arr[..., None]
+    if obs_arr.ndim != 3:
+        raise ValueError(
+            f"rbpf observations must be [T, B, Do] or [T, B]. "
+            f"got shape {obs_arr.shape}")
+    num_timesteps, batch_size, obs_dim = obs_arr.shape
+    obs_seq = ObservationSequence(obs_arr)
+    k_shape = (batch_size, num_particles)
+    log_k = _stdmath.log(num_particles)
+
+    def propose(dist_prior, dist_q, k):
+        """Sample u from q (or the prior) and return (u, correction)."""
+        dist_prior = _tag_mode(dist_prior, batch_size, num_particles)
+        if dist_q is not None:
+            dist_q = _tag_mode(dist_q, batch_size, num_particles)
+        if dist_q is None:
+            u = _sample_dist(dist_prior, batch_size, num_particles, k)
+            return u, jnp.zeros(k_shape)
+        u = _sample_dist(dist_q, batch_size, num_particles, k)
+        correction = (state.log_prob(dist_prior, u) -
+                      state.log_prob(dist_q, u))
+        return u, correction
+
+    # ---- t = 0.
+    key, k0 = jax.random.split(key)
+    u, correction = propose(
+        initial(),
+        proposal(time=0, observations=obs_seq) if proposal else None,
+        k0)
+    m0, p0 = linear_initial(u)
+    lin_dim = jnp.asarray(m0).shape[-1]
+    m = _bc(m0, k_shape + (lin_dim,))
+    p = _bc(p0, k_shape + (lin_dim, lin_dim))
+    c, d, r = linear_emission(u, 0)
+    c = _bc(c, k_shape + (obs_dim, lin_dim))
+    d = _bc(d, k_shape + (obs_dim,))
+    r = _bc(r, k_shape + (obs_dim, obs_dim))
+    inc, m, p = _gaussian_update(m, p, c, d, r, obs_arr[0])
+    log_w = inc + correction                              # [B, K]
+    log_z = jax.nn.logsumexp(log_w, axis=1) - log_k       # [B]
+    norm_w0 = jax.nn.softmax(log_w, axis=1)
+    fmean0 = jnp.einsum("bk,bkd->bd", norm_w0, m)
+
+    iota = jnp.arange(num_particles)
+
+    def step(carry, inputs):
+        u, m, p, log_w, log_z, key = carry
+        y_t, t = inputs
+        key, k_res, k_prop = jax.random.split(key, 3)
+
+        # ---- per-row adaptive resampling (identity rows mix in).
+        ess = jnp.exp(2.0 * jax.nn.logsumexp(log_w, axis=1) -
+                      jax.nn.logsumexp(2.0 * log_w, axis=1))  # [B]
+        do_res = ess <= ess_threshold * num_particles
+        idx = resampling.sample_ancestral_index(
+            log_w, k_res, method=resampling_method,
+            implementation="xla")                            # [B, K]
+        idx = jnp.where(do_res[:, None], idx, iota[None, :])
+        u_r = jax.tree_util.tree_map(
+            lambda x: jnp.take_along_axis(
+                x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)),
+                axis=1), u)
+        m_r = jnp.take_along_axis(m, idx[..., None], axis=1)
+        p_r = jnp.take_along_axis(p, idx[..., None, None], axis=1)
+        log_w = jnp.where(do_res[:, None], 0.0, log_w)
+
+        # ---- propose u_t, Kalman predict + update on the MXU.
+        time = TimeIndex(t)
+        prior_dist = transition(previous_latents=[u_r], time=time)
+        q_dist = (proposal(previous_latents=[u_r], time=time,
+                           observations=obs_seq) if proposal else None)
+        u_new, correction = propose(prior_dist, q_dist, k_prop)
+        a, b, q = linear_dynamics(u_new, time)
+        a = _bc(a, k_shape + (lin_dim, lin_dim))
+        b = _bc(b, k_shape + (lin_dim,))
+        q = _bc(q, k_shape + (lin_dim, lin_dim))
+        m_pred = _mv(a, m_r) + b
+        p_pred = _mm(_mm(a, p_r), jnp.swapaxes(a, -1, -2)) + q
+        c, d, r = linear_emission(u_new, time)
+        c = _bc(c, k_shape + (obs_dim, lin_dim))
+        d = _bc(d, k_shape + (obs_dim,))
+        r = _bc(r, k_shape + (obs_dim, obs_dim))
+        inc, m_new, p_new = _gaussian_update(m_pred, p_pred, c, d, r,
+                                             y_t)
+        new_log_w = log_w + inc + correction
+        log_z = log_z + (jax.nn.logsumexp(new_log_w, axis=1) -
+                         jax.nn.logsumexp(log_w, axis=1))
+        norm_w = jax.nn.softmax(new_log_w, axis=1)
+        fmean = jnp.einsum("bk,bkd->bd", norm_w, m_new)
+        carry = (u_new, m_new, p_new, new_log_w, log_z, key)
+        hist = ((u_new, m_new, new_log_w) if return_history else None)
+        return carry, (fmean, hist)
+
+    u0, m0_post, logw0 = u, m, log_w
+    if num_timesteps > 1:
+        times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
+        (u, m, p, log_w, log_z, _), (fmeans, hist) = jax.lax.scan(
+            step, (u, m, p, log_w, log_z, key),
+            (obs_arr[1:], times))
+        filtered_means = jnp.concatenate([fmean0[None], fmeans], axis=0)
+    else:
+        hist = None
+        filtered_means = fmean0[None]
+
+    out = {
+        "log_marginal_likelihood": log_z,
+        "nonlinear_latents": u,
+        "linear_means": m,
+        "linear_covs": p,
+        "log_weight": log_w,
+        "filtered_means": filtered_means,
+    }
+    if return_history:
+        prepend = lambda z, h: jnp.concatenate([z[None], h], axis=0)
+        if num_timesteps > 1:
+            u_h, m_h, w_h = hist
+            out["nonlinear_latents_history"] = jax.tree_util.tree_map(
+                prepend, u0, u_h)
+            out["linear_means_history"] = prepend(m0_post, m_h)
+            out["log_weights_history"] = prepend(logw0, w_h)
+        else:
+            out["nonlinear_latents_history"] = jax.tree_util.tree_map(
+                lambda z: z[None], u0)
+            out["linear_means_history"] = m0_post[None]
+            out["log_weights_history"] = logw0[None]
+    return out

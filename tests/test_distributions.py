@@ -83,6 +83,16 @@ class TestCategorical:
             np.asarray(d.log_prob(value)),
             np.log(np.array([0.5, 0.6])), atol=1e-4)
 
+    def test_log_prob_broadcasts_scalar_batch_to_batched_value(self):
+        # Regression: an untagged scalar-batch Categorical scored at
+        # [B, K] samples raised a take_along_axis rank mismatch.
+        probs = np.array([0.2, 0.3, 0.5])
+        d = dists.Categorical.from_probs(jnp.asarray(probs))
+        value = jnp.asarray([[0, 1], [2, 2]])
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(value)),
+            np.log(np.array([[0.2, 0.3], [0.5, 0.5]])), atol=1e-4)
+
     def test_sampler_marginals(self):
         probs = np.array([0.2, 0.3, 0.5])
         d = dists.Categorical.from_probs(jnp.asarray(probs))
