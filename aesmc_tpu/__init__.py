@@ -21,6 +21,7 @@ from . import parallel
 from . import profiling
 from . import rbpf
 from . import resampling
+from . import samplers
 from . import smc2
 from . import state
 from . import smoothing
@@ -31,7 +32,7 @@ from . import utils
 
 __all__ = [
     "checkpoint", "csmc", "distributions", "inference", "losses", "math",
-    "models", "ot", "parallel", "profiling", "rbpf", "resampling", "smc2",
-    "smoothing",
+    "models", "ot", "parallel", "profiling", "rbpf", "resampling",
+    "samplers", "smc2", "smoothing",
     "state", "statistics", "tmc", "train", "utils", "__version__",
 ]
