@@ -19,6 +19,7 @@ from . import models
 from . import ot
 from . import parallel
 from . import profiling
+from . import proposals
 from . import rbpf
 from . import resampling
 from . import samplers
@@ -32,7 +33,7 @@ from . import utils
 
 __all__ = [
     "checkpoint", "csmc", "distributions", "inference", "losses", "math",
-    "models", "ot", "parallel", "profiling", "rbpf", "resampling",
-    "samplers", "smc2", "smoothing",
+    "models", "ot", "parallel", "profiling", "proposals", "rbpf",
+    "resampling", "samplers", "smc2", "smoothing",
     "state", "statistics", "tmc", "train", "utils", "__version__",
 ]

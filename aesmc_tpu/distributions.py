@@ -148,6 +148,74 @@ class MultivariateNormalDiag(Distribution):
 
 
 @struct.dataclass
+class MultivariateNormalTriL(Distribution):
+    """Full-covariance multivariate normal, parameterized by the
+    lower-triangular Cholesky factor of the covariance;
+    event_shape = (D,). Reparameterized: x = loc + L @ eps."""
+
+    loc: Any          # [..., D]
+    scale_tril: Any   # [..., D, D] lower triangular
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    has_rsample: bool = struct.field(pytree_node=False, default=True)
+
+    @classmethod
+    def from_covariance(cls, loc, covariance, **kwargs):
+        cov = jnp.asarray(covariance)
+        cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+        return cls(loc=loc, scale_tril=jnp.linalg.cholesky(cov),
+                   **kwargs)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(_shape(self.loc)[:-1],
+                                    _shape(self.scale_tril)[:-2])
+
+    @property
+    def event_shape(self):
+        return _shape(self.scale_tril)[-1:]
+
+    def sample(self, key, sample_shape=()):
+        loc = jnp.asarray(self.loc, dtype=jnp.result_type(float))
+        tril = jnp.asarray(self.scale_tril, dtype=loc.dtype)
+        shape = (tuple(sample_shape) + self.batch_shape +
+                 self.event_shape)
+        eps = jax.random.normal(key, shape, dtype=loc.dtype)
+        return loc + jnp.einsum("...ij,...j->...i",
+                                jnp.broadcast_to(
+                                    tril, shape + self.event_shape),
+                                eps)
+
+    def log_prob(self, value):
+        value = jnp.asarray(value)
+        loc = jnp.asarray(self.loc, dtype=jnp.result_type(float))
+        tril = jnp.asarray(self.scale_tril, dtype=loc.dtype)
+        diff = value - loc
+        batch = jnp.broadcast_shapes(diff.shape[:-1],
+                                     _shape(tril)[:-2])
+        d = diff.shape[-1]
+        diff = jnp.broadcast_to(diff, batch + (d,))
+        tril = jnp.broadcast_to(tril, batch + (d, d))
+        z = jax.scipy.linalg.solve_triangular(
+            tril, diff[..., None], lower=True)[..., 0]
+        half_logdet = jnp.sum(
+            jnp.log(jnp.diagonal(tril, axis1=-2, axis2=-1)), axis=-1)
+        return (-0.5 * jnp.sum(z * z, axis=-1) - half_logdet -
+                d * _HALF_LOG_2PI)
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(
+            jnp.asarray(self.loc), self.batch_shape + self.event_shape)
+
+    @property
+    def covariance(self):
+        tril = jnp.asarray(self.scale_tril)
+        return jnp.einsum("...ij,...kj->...ik", tril, tril)
+
+
+@struct.dataclass
 class Independent(Distribution):
     """Reinterprets rightmost batch dims of ``base`` as event dims.
 
