@@ -129,6 +129,7 @@ def rbpf(observations, initial, transition, linear_initial,
          linear_dynamics, linear_emission, num_particles: int,
          key=None, proposal=None, ess_threshold: float = 1.0,
          resampling_method: str = "systematic",
+         resampling_implementation="auto",
          return_history: bool = False):
     """Runs the Rao-Blackwellized particle filter.
 
@@ -158,6 +159,9 @@ def rbpf(observations, initial, transition, linear_initial,
             K. The default 1.0 resamples every step (uniform weights
             have ESS = K); 0.0 never resamples.
         resampling_method: 'systematic' | 'stratified' | 'multinomial'.
+        resampling_implementation: 'auto' | 'xla' | 'pallas' — 'auto'
+            routes the ancestor search through the fused Pallas kernel
+            at kernel-worthy K on a real TPU.
         return_history: also return per-step particles and moments.
 
     Returns:
@@ -241,7 +245,7 @@ def rbpf(observations, initial, transition, linear_initial,
         do_res = ess <= ess_threshold * num_particles
         idx = resampling.sample_ancestral_index(
             log_w, k_res, method=resampling_method,
-            implementation="xla")                            # [B, K]
+            implementation=resampling_implementation)        # [B, K]
         idx = jnp.where(do_res[:, None], idx, iota[None, :])
         u_r = jax.tree_util.tree_map(
             lambda x: jnp.take_along_axis(

@@ -48,6 +48,7 @@ def smc_sampler(log_prior, log_likelihood, initial_particles, key=None,
                 num_moves: int = 3, step_size=0.5,
                 ess_target: float = 0.5, max_steps: int = 64,
                 betas=None, resampling_method: str = "systematic",
+                resampling_implementation="auto",
                 return_history: bool = False):
     """Adaptive annealed SMC from `p0` to `p0 * exp(log_likelihood)`.
 
@@ -75,6 +76,9 @@ def smc_sampler(log_prior, log_likelihood, initial_particles, key=None,
         betas: optional explicit `[S]` increasing ladder ending at 1.0
             (overrides the adaptive schedule; b=0 start implicit).
         resampling_method: 'systematic' | 'stratified' | 'multinomial'.
+        resampling_implementation: 'auto' | 'xla' | 'pallas' — 'auto'
+            routes the ancestor search through the fused Pallas kernel
+            at kernel-worthy K on a real TPU.
         return_history: also return the per-rung beta/ESS/acceptance
             paths (padded to `max_steps` in adaptive mode).
 
@@ -169,7 +173,7 @@ def smc_sampler(log_prior, log_likelihood, initial_particles, key=None,
         ess = _ess_from_logw(log_w)
         idx = resampling.sample_ancestral_index(
             log_w[None], k_res, method=resampling_method,
-            implementation="xla")[0]
+            implementation=resampling_implementation)[0]
         particles = jax.tree_util.tree_map(
             lambda x: jnp.take(x, idx, axis=0), particles)
         particles, acc = move(particles, new_beta, k_move)
