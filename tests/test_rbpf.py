@@ -265,6 +265,30 @@ class TestStructure:
         w = np.asarray(out["log_weights_history"])
         assert np.std(w[-1]) > 0.0
 
+    def test_distributed_resampler_matches_single_device(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from aesmc_tpu import parallel
+
+        obs = _switching_problem(T=8, B=2)
+        comps = _switching_components()
+        ref = rbpf.rbpf(jnp.asarray(obs), num_particles=256, key=KEY,
+                        **comps)
+        mesh = parallel.make_mesh(data=2, particle=4)
+        dist = parallel.make_distributed_resampler(
+            mesh, method="systematic")
+        obs_sharded = jax.device_put(
+            jnp.asarray(obs), NamedSharding(mesh, P(None, "data")))
+        out = jax.jit(lambda o: rbpf.rbpf(
+            o, num_particles=256, key=KEY,
+            resampling_implementation=dist, **comps))(obs_sharded)
+        np.testing.assert_allclose(
+            np.asarray(out["log_marginal_likelihood"]),
+            np.asarray(ref["log_marginal_likelihood"]),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["filtered_means"]),
+            np.asarray(ref["filtered_means"]), atol=1e-3)
+
     def test_validation_errors(self):
         obs = _switching_problem(T=3)
         comps = _switching_components()

@@ -155,3 +155,39 @@ class TestStructure:
                                  ess_target=1.5)
         with pytest.raises(ValueError, match="num_moves"):
             samplers.smc_sampler(log_prior, log_lik, x0, num_moves=-1)
+
+
+class TestDistributed:
+    """The sampler is mesh-capable through the standard
+    `resampling_implementation` callable hook: a shard_map distributed
+    resampler + GSPMD-sharded densities/moves."""
+
+    @pytest.mark.parametrize("pp", [8, 4])
+    def test_sharded_matches_single_device(self, pp):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from aesmc_tpu import parallel
+
+        log_prior, log_lik, y, exact_lz, pm, pv = _gaussian_problem()
+        K = 1024
+        x0 = 2.0 * jax.random.normal(jax.random.PRNGKey(1), (K, 4))
+        ref = samplers.smc_sampler(log_prior, log_lik, x0, key=KEY,
+                                   num_moves=2, step_size=0.4)
+
+        mesh = parallel.make_mesh(data=1, particle=pp)
+        dist = parallel.make_distributed_resampler(
+            mesh, method="systematic")
+        x0_sharded = jax.device_put(
+            x0, NamedSharding(mesh, P("particle", None)))
+        out = jax.jit(lambda x: samplers.smc_sampler(
+            log_prior, log_lik, x, key=KEY, num_moves=2,
+            step_size=0.4, resampling_implementation=dist))(x0_sharded)
+        # Indices are bit-exact vs single-device; remaining diffs are
+        # f32 reduction-order only.
+        assert int(out["num_steps"]) == int(ref["num_steps"])
+        np.testing.assert_allclose(
+            float(out["log_normalizer"]),
+            float(ref["log_normalizer"]), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["particles"]).mean(0),
+            np.asarray(ref["particles"]).mean(0), atol=1e-3)
+        assert abs(float(out["log_normalizer"]) - exact_lz) < 0.2
