@@ -16,6 +16,7 @@ from . import inference
 from . import losses
 from . import math
 from . import models
+from . import online
 from . import ot
 from . import parallel
 from . import profiling

@@ -1,0 +1,416 @@
+"""Online (streaming) particle filtering for serving and live inference.
+
+The batch engine (`aesmc_tpu.inference.infer`) consumes a whole
+observation sequence at once inside one `lax.scan` - the right shape for
+training and offline smoothing. Production serving is the opposite
+access pattern: observations arrive ONE AT A TIME and each must update
+the posterior with bounded latency and O(1) memory. This module provides
+that as a pair of jittable pure functions:
+
+    init_fn, step_fn = make_online_filter(initial, transition, emission,
+                                          proposal, num_particles, ...)
+    filter_state = init_fn(y_0, key_0)
+    for y_t arriving:
+        filter_state, info = step_fn(filter_state, y_t, key_t)
+
+`step_fn` is a fixed-shape pure function: jit it ONCE and every arriving
+observation costs one device dispatch - no retracing, no growing arrays.
+The carry is a flat pytree (`OnlineFilterState`), so it checkpoints,
+shards (`jax.device_put` with a NamedSharding), and donates
+(`jax.jit(..., donate_argnums=0)`) like any other JAX state.
+
+Semantics contract: feeding T observations through `init_fn` +
+`step_fn` reproduces `infer('smc', ...)` exactly - same resampling
+branch structure, same estimator arithmetic, and (given the same
+per-step key pairs, see `split_step_keys`) BIT-IDENTICAL ancestor
+indices; log-weights/particles/log-Z agree to f32 fusion rounding
+(~1 ulp - XLA fuses the batch engine's scan body differently from the
+standalone step program, e.g. FMA formation). `tests/test_online.py`
+enforces this for every resampling method, the ESS-adaptive criterion,
+and the auxiliary-PF lookahead.
+
+No reference counterpart: /root/reference/aesmc/inference.py:8-193 only
+offers the whole-sequence loop; its Python-list state could not be
+stepped externally without re-entering the library. Beyond-parity
+capability, SURVEY.md S5 "production deployment and serving" angle.
+
+Causality note: components receive `observations` as a causal view that
+returns the CURRENT observation for any time index (streaming mode
+cannot look ahead, and past observations beyond y_{t-1} are not
+buffered). Models that only read `observations[time]` (every reference
+model, e.g. /root/reference/test/models/lgssm.py:54-72) behave
+identically; models indexing other offsets need `previous_observations`
+([-1] = y_{t-1}, as in the batch engine) or are not stream-capable.
+"""
+
+from __future__ import annotations
+
+import math as _stdmath
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import resampling, state
+from .inference import TimeIndex
+
+__all__ = [
+    "OnlineFilterState", "make_online_filter", "log_marginal_likelihood",
+    "effective_sample_size", "split_step_keys",
+]
+
+
+class OnlineFilterState(NamedTuple):
+    """Carry of the streaming filter - a flat pytree.
+
+    Attributes:
+        latent: particle pytree, leaves `[batch, num_particles, ...]`.
+        log_weight: `[batch, num_particles]` current unnormalized
+            log-weights.
+        log_z_contrib: `[batch]` accumulated resampling contributions to
+            the log-Z estimator (the `sum(contributions)` term of the
+            batch engine's estimator; see `log_marginal_likelihood`).
+        prev_observation: the last consumed observation `[batch, ...]`
+            pytree (what components see as `previous_observations[-1]`).
+        t: int32 scalar - number of observations consumed so far.
+    """
+
+    latent: Any
+    log_weight: jnp.ndarray
+    log_z_contrib: jnp.ndarray
+    prev_observation: Any
+    t: jnp.ndarray
+
+
+def log_marginal_likelihood(filter_state: OnlineFilterState) -> jnp.ndarray:
+    """Running log-Z estimate `[batch]` after the observations consumed
+    so far: `sum(contributions) + logsumexp(log_weight) - log K` -
+    identical to the batch engine's estimator at the same step
+    (inference.py, smc estimator block)."""
+    num_particles = filter_state.log_weight.shape[-1]
+    return (filter_state.log_z_contrib +
+            jax.nn.logsumexp(filter_state.log_weight, axis=-1) -
+            _stdmath.log(num_particles))
+
+
+def effective_sample_size(filter_state: OnlineFilterState) -> jnp.ndarray:
+    """Kish ESS `[batch]` of the current weights (1 .. num_particles)."""
+    lw = filter_state.log_weight
+    return jnp.exp(2 * jax.nn.logsumexp(lw, axis=-1) -
+                   jax.nn.logsumexp(2 * lw, axis=-1))
+
+
+def split_step_keys(key, num_timesteps: int):
+    """The batch engine's per-step key layout: `[T, 2]` keys where row t
+    holds (resampling key, proposal key) for step t. Feed row 0 to
+    `init_fn` and row t to the t-th `step_fn` call to reproduce
+    `infer(key=key)` bit-for-bit."""
+    return jax.random.split(key, (num_timesteps, 2))
+
+
+class _CausalObservations:
+    """Streaming stand-in for `ObservationSequence`: `obs[t]` returns the
+    current observation for ANY index (the only time visible online)."""
+
+    __slots__ = ("current",)
+
+    def __init__(self, current):
+        self.current = current
+
+    def __getitem__(self, t):
+        return self.current
+
+    def __len__(self):
+        raise TypeError(
+            "online filtering has no sequence length; components must "
+            "not call len(observations) in streaming mode")
+
+
+def _key_pair(key):
+    """Accepts a single PRNG key (split into a (resample, propose) pair)
+    or an explicit pair - row t of `split_step_keys` - for bit-parity
+    with the batch engine. Handles typed keys (shape () / (2,)) and
+    legacy uint32 keys (shape (2,) / (2, 2))."""
+    key = jnp.asarray(key)
+    typed = jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+    if (typed and key.shape == (2,)) or (not typed and key.shape == (2, 2)):
+        return key[0], key[1]
+    pair = jax.random.split(key, 2)
+    return pair[0], pair[1]
+
+
+def make_online_filter(initial,
+                       transition,
+                       emission,
+                       proposal,
+                       num_particles: int,
+                       lookahead=None,
+                       resampling_method: str = "systematic",
+                       resampling_implementation="auto",
+                       resampling_criterion="always",
+                       soft_resampling_alpha: float = 0.5,
+                       ot_epsilon: float = 0.5,
+                       ot_num_iterations: int = 20,
+                       ot_block_size=None,
+                       ot_rank=None,
+                       return_ancestors: bool = False,
+                       mesh=None,
+                       data_axis: str = "data",
+                       particle_axis: str = "particle"):
+    """Builds `(init_fn, step_fn)` for streaming SMC.
+
+    All knobs mirror `infer` (same names, same semantics, same validation;
+    smc only - IS has no streaming posterior). Components are closed over:
+    rebuild the filter (cheap - it is just closure creation) to serve
+    updated parameters.
+
+    Args:
+        initial, transition, emission, proposal: the standard component
+            callables (module docstring of `aesmc_tpu.inference`).
+        num_particles: particles per batch row.
+        lookahead: optional auxiliary-PF score callable, as in `infer`.
+        resampling_method: 'systematic' | 'stratified' | 'multinomial' |
+            'soft' | 'ot'.
+        resampling_implementation: 'auto' | 'xla' | 'pallas' | callable
+            (e.g. a distributed shard_map resampler).
+        resampling_criterion: 'always' or an ESS fraction in (0, 1].
+        return_ancestors: include the `[batch, K]` ancestor indices of
+            each step in the info dict (off by default - serving rarely
+            needs lineage, and the fused kernel then skips computing
+            them).
+        mesh / data_axis / particle_axis: optional GSPMD sharding
+            constraints on the carried latent and weights, as in `infer`.
+
+    Returns:
+        (init_fn, step_fn):
+        `init_fn(observation, key) -> OnlineFilterState` consumes y_0
+        (`[batch, ...]` pytree).
+        `step_fn(filter_state, observation, key) -> (OnlineFilterState,
+        info)` consumes one subsequent observation; `info` holds
+        'log_pred' (`[batch]` incremental log p(y_t | y_{1:t-1}), the
+        natural serving-side anomaly score), 'ess' (`[batch]` ESS of the
+        PRE-step weights), 'resampled' (`[batch]` bool - whether the row
+        resampled this step), and 'ancestral_index' when requested.
+        For bit-parity with `infer(key=k)`, pass row t of
+        `split_step_keys(k, T)` as the key of the t-th call.
+    """
+    if resampling_method == "soft" and resampling_criterion != "always":
+        raise ValueError(
+            "soft resampling does not combine with ESS-adaptive "
+            "criteria (resample-or-not is already softened)")
+    if lookahead is not None and resampling_method in ("soft", "ot"):
+        raise ValueError(
+            "lookahead does not combine with differentiable "
+            f"resampling_method={resampling_method!r}; use a "
+            "discrete method (systematic/stratified/multinomial)")
+    if resampling_method == "ot":
+        if resampling_criterion != "always":
+            raise ValueError(
+                "resampling_method='ot' does not combine with "
+                "ESS-adaptive criteria")
+        if return_ancestors:
+            raise ValueError(
+                "resampling_method='ot' transports particles (no "
+                "discrete ancestors): ancestor indices are unavailable")
+    adaptive = resampling_criterion != "always"
+    if adaptive:
+        ess_threshold = float(resampling_criterion) * num_particles
+    log_num_particles = _stdmath.log(num_particles)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _constrain(tree):
+            def leaf(x):
+                spec = PartitionSpec(
+                    data_axis, particle_axis,
+                    *([None] * (jnp.ndim(x) - 2)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+            return jax.tree_util.tree_map(leaf, tree)
+    else:
+        def _constrain(tree):
+            return tree
+
+    def init_fn(observation, key):
+        """Consumes y_0; mirrors the batch engine's hoisted t=0 step
+        (time is the Python int 0, so reference-style `if time == 0:`
+        branches resolve statically)."""
+        observation = jax.tree_util.tree_map(jnp.asarray, observation)
+        batch_size = jax.tree_util.tree_leaves(observation)[0].shape[0]
+        _, propose_key = _key_pair(key)
+        obs_view = _CausalObservations(observation)
+        proposal_dist = proposal(time=0, observations=obs_view)
+        latent_0 = _constrain(state.sample(proposal_dist, batch_size,
+                                           num_particles, propose_key))
+        proposal_lp = state.log_prob(proposal_dist, latent_0)
+        initial_lp = state.log_prob(initial(), latent_0)
+        emission_lp = state.log_prob(
+            emission(latents=[latent_0], time=0),
+            state.expand_observation(observation, num_particles))
+        log_weight_0 = _constrain(initial_lp + emission_lp - proposal_lp)
+        return OnlineFilterState(
+            latent=latent_0,
+            log_weight=log_weight_0,
+            log_z_contrib=jnp.zeros((batch_size,), log_weight_0.dtype),
+            prev_observation=observation,
+            t=jnp.asarray(1, jnp.int32))
+
+    def step_fn(filter_state, observation, key):
+        """Consumes one observation y_t (t >= 1); one filter update."""
+        observation = jax.tree_util.tree_map(jnp.asarray, observation)
+        prev_latent = filter_state.latent
+        prev_log_weight = filter_state.log_weight
+        batch_size, _ = prev_log_weight.shape
+        resample_key, propose_key = _key_pair(key)
+        time = TimeIndex(filter_state.t)
+        obs_view = _CausalObservations(observation)
+        prev_obs_list = [filter_state.prev_observation]
+        resolved_impl = resampling.resolve_implementation(
+            (batch_size, num_particles), resampling_method,
+            resampling_implementation)
+        log_pred_base = log_marginal_likelihood(filter_state)
+        pre_ess = effective_sample_size(filter_state)
+        ancestral_index = None
+
+        if resampling_method == "ot":
+            from . import ot as _ot
+
+            if callable(resolved_impl) and getattr(resolved_impl, "ot",
+                                                   False):
+                previous_latent, _ = resolved_impl(prev_log_weight,
+                                                   prev_latent)
+            elif ot_rank is not None:
+                previous_latent, _ = _ot.lowrank_ot_resample(
+                    prev_log_weight, prev_latent, rank=ot_rank,
+                    num_iterations=ot_num_iterations, key=resample_key)
+            else:
+                previous_latent, _ = _ot.ot_resample(
+                    prev_log_weight, prev_latent, epsilon=ot_epsilon,
+                    num_iterations=ot_num_iterations,
+                    block_size=ot_block_size)
+            contribution = (jax.nn.logsumexp(prev_log_weight, axis=1) -
+                            log_num_particles)
+            base = jnp.zeros_like(prev_log_weight)
+            did_resample = jnp.ones((batch_size,), bool)
+        elif resampling_method == "soft":
+            ancestral_index, corrected, previous_latent = \
+                resampling.soft_resample_and_gather(
+                    prev_log_weight, resample_key, prev_latent,
+                    alpha=soft_resampling_alpha,
+                    implementation=resolved_impl,
+                    need_indices=return_ancestors)
+            contribution = (jax.nn.logsumexp(prev_log_weight, axis=1) -
+                            log_num_particles)
+            base = corrected
+            did_resample = jnp.ones((batch_size,), bool)
+        elif not adaptive:
+            if lookahead is not None:
+                log_nu = jnp.asarray(lookahead(
+                    previous_latents=[prev_latent], time=time,
+                    observations=obs_view))
+                first_stage = prev_log_weight + log_nu
+                ancestral_index, (previous_latent, nu_a) = \
+                    resampling.sample_ancestral_index_and_resample(
+                        first_stage, resample_key, (prev_latent, log_nu),
+                        method=resampling_method,
+                        implementation=resolved_impl,
+                        need_indices=return_ancestors)
+                base = (jax.nn.logsumexp(first_stage, axis=1,
+                                         keepdims=True) -
+                        jax.nn.logsumexp(prev_log_weight, axis=1,
+                                         keepdims=True) - nu_a)
+            else:
+                ancestral_index, previous_latent = \
+                    resampling.sample_ancestral_index_and_resample(
+                        prev_log_weight, resample_key, prev_latent,
+                        method=resampling_method,
+                        implementation=resolved_impl,
+                        need_indices=return_ancestors)
+                base = jnp.zeros_like(prev_log_weight)
+            contribution = (jax.nn.logsumexp(prev_log_weight, axis=1) -
+                            log_num_particles)
+            did_resample = jnp.ones((batch_size,), bool)
+        else:
+            # ESS-adaptive: per-row decision, identical arithmetic to
+            # the batch engine's adaptive branch (inference.py).
+            if lookahead is not None:
+                log_nu = jnp.asarray(lookahead(
+                    previous_latents=[prev_latent], time=time,
+                    observations=obs_view))
+                first_stage = prev_log_weight + log_nu
+                sampled, (resampled, nu_a) = \
+                    resampling.sample_ancestral_index_and_resample(
+                        first_stage, resample_key, (prev_latent, log_nu),
+                        method=resampling_method,
+                        implementation=resolved_impl,
+                        need_indices=return_ancestors)
+                resampled_base = (
+                    jax.nn.logsumexp(first_stage, axis=1,
+                                     keepdims=True) -
+                    jax.nn.logsumexp(prev_log_weight, axis=1,
+                                     keepdims=True) - nu_a)
+            else:
+                sampled, resampled = \
+                    resampling.sample_ancestral_index_and_resample(
+                        prev_log_weight, resample_key, prev_latent,
+                        method=resampling_method,
+                        implementation=resolved_impl,
+                        need_indices=return_ancestors)
+                resampled_base = jnp.zeros_like(prev_log_weight)
+            do = pre_ess < ess_threshold                        # [B]
+            if sampled is not None:
+                identity = jnp.broadcast_to(
+                    jnp.arange(num_particles, dtype=sampled.dtype),
+                    sampled.shape)
+                ancestral_index = jnp.where(do[:, None], sampled, identity)
+            contribution = jnp.where(
+                do,
+                jax.nn.logsumexp(prev_log_weight, axis=1) -
+                log_num_particles,
+                jnp.zeros_like(pre_ess))
+            base = jnp.where(do[:, None], resampled_base, prev_log_weight)
+
+            def select(res, orig):
+                res = jnp.asarray(res)
+                keep = do.reshape((-1,) + (1,) * (res.ndim - 1))
+                return jnp.where(keep, res, jnp.asarray(orig))
+
+            previous_latent = jax.tree_util.tree_map(
+                select, resampled, prev_latent)
+            did_resample = do
+
+        proposal_dist = proposal(previous_latents=[previous_latent],
+                                 time=time, observations=obs_view)
+        latent_t = _constrain(state.sample(proposal_dist, batch_size,
+                                           num_particles, propose_key))
+        proposal_lp = state.log_prob(proposal_dist, latent_t)
+        transition_lp = state.log_prob(
+            transition(previous_latents=[previous_latent], time=time,
+                       previous_observations=prev_obs_list),
+            latent_t)
+        emission_lp = state.log_prob(
+            emission(latents=[latent_t], time=time,
+                     previous_observations=prev_obs_list),
+            state.expand_observation(observation, num_particles))
+        # Same association order as the batch engine (`base + increment`)
+        # so parity is bit-exact in f32, not merely close.
+        increment = transition_lp + emission_lp - proposal_lp
+        log_weight_t = _constrain(base + increment)
+
+        new_state = OnlineFilterState(
+            latent=latent_t,
+            log_weight=log_weight_t,
+            log_z_contrib=filter_state.log_z_contrib + contribution,
+            prev_observation=observation,
+            t=filter_state.t + 1)
+        info = {
+            "log_pred": log_marginal_likelihood(new_state) - log_pred_base,
+            "ess": pre_ess,
+            "resampled": did_resample,
+        }
+        if return_ancestors:
+            info["ancestral_index"] = ancestral_index
+        return new_state, info
+
+    return init_fn, step_fn

@@ -1,0 +1,227 @@
+"""Streaming filter (aesmc_tpu.online) vs the batch engine.
+
+The contract under test: init_fn + T-1 step_fn calls, fed the batch
+engine's own per-step key pairs (`online.split_step_keys`), reproduce
+`infer('smc', ...)` exactly - same particles, weights, and log-Z - for
+every resampling method, the ESS-adaptive criterion, and the APF
+lookahead.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aesmc_tpu import inference, online
+from aesmc_tpu.models import lgssm
+
+KEY = jax.random.PRNGKey(7)
+T, B, K = 12, 3, 64
+
+
+def _components():
+    initial = lgssm.Initial(0.0, 1.0)
+    transition = lgssm.Transition.create(0.9, 1.0)
+    emission = lgssm.Emission.create(1.0, 0.3)
+    proposal = lgssm.Proposal.create(1.0, 1.0, key=jax.random.PRNGKey(3))
+    return initial, transition, emission, proposal
+
+
+def _observations():
+    return jax.random.normal(jax.random.PRNGKey(11), (T, B))
+
+
+def _run_online(obs, key, **kwargs):
+    init_fn, step_fn = online.make_online_filter(*_components(), K, **kwargs)
+    step_keys = online.split_step_keys(key, T)
+    fs = init_fn(obs[0], step_keys[0])
+    infos = []
+    for t in range(1, T):
+        fs, info = step_fn(fs, obs[t], step_keys[t])
+        infos.append(info)
+    return fs, infos
+
+
+class TestParity:
+    @pytest.mark.parametrize("method",
+                             ["systematic", "stratified", "multinomial"])
+    def test_discrete_methods_match_infer(self, method):
+        obs = _observations()
+        ref = inference.infer(
+            "smc", obs, *_components(), K, key=KEY,
+            resampling_method=method,
+            return_log_marginal_likelihood=True, return_latents=False)
+        fs, _ = _run_online(obs, KEY, resampling_method=method)
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs)),
+            np.asarray(ref["log_marginal_likelihood"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(fs.log_weight),
+                                   np.asarray(ref["log_weight"]), rtol=2e-6, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(fs.latent),
+                                   np.asarray(ref["last_latent"]),
+                                   rtol=2e-6, atol=1e-4)
+        assert int(fs.t) == T
+
+    def test_soft_matches_infer(self):
+        obs = _observations()
+        ref = inference.infer(
+            "smc", obs, *_components(), K, key=KEY,
+            resampling_method="soft", soft_resampling_alpha=0.6,
+            return_log_marginal_likelihood=True, return_latents=False)
+        fs, _ = _run_online(obs, KEY, resampling_method="soft",
+                            soft_resampling_alpha=0.6)
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs)),
+            np.asarray(ref["log_marginal_likelihood"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(fs.log_weight),
+                                   np.asarray(ref["log_weight"]), rtol=2e-6, atol=1e-4)
+
+    def test_ot_matches_infer(self):
+        obs = _observations()
+        ref = inference.infer(
+            "smc", obs, *_components(), K, key=KEY,
+            resampling_method="ot", ot_num_iterations=10,
+            return_log_marginal_likelihood=True, return_latents=False)
+        fs, _ = _run_online(obs, KEY, resampling_method="ot",
+                            ot_num_iterations=10)
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs)),
+            np.asarray(ref["log_marginal_likelihood"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(fs.latent),
+                                   np.asarray(ref["last_latent"]),
+                                   rtol=2e-6, atol=1e-4)
+
+    def test_adaptive_matches_infer(self):
+        obs = _observations()
+        ref = inference.infer(
+            "smc", obs, *_components(), K, key=KEY,
+            resampling_criterion=0.2,
+            return_log_marginal_likelihood=True, return_latents=False)
+        fs, infos = _run_online(obs, KEY, resampling_criterion=0.2)
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs)),
+            np.asarray(ref["log_marginal_likelihood"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(fs.log_weight),
+                                   np.asarray(ref["log_weight"]), rtol=2e-6, atol=1e-4)
+        resampled = np.stack([np.asarray(i["resampled"]) for i in infos])
+        assert resampled.any() and not resampled.all(), \
+            "the adaptive test config should mix resampled/kept steps"
+
+    def test_apf_lookahead_matches_infer(self):
+        obs = _observations()
+        initial, transition, emission, proposal = _components()
+        look = lgssm.Lookahead.create(0.9, 1.0, 1.0, 0.3)
+        ref = inference.infer(
+            "smc", obs, initial, transition, emission, proposal, K,
+            key=KEY, lookahead=look,
+            return_log_marginal_likelihood=True, return_latents=False)
+        init_fn, step_fn = online.make_online_filter(
+            initial, transition, emission, proposal, K, lookahead=look)
+        step_keys = online.split_step_keys(KEY, T)
+        fs = init_fn(obs[0], step_keys[0])
+        for t in range(1, T):
+            fs, _ = step_fn(fs, obs[t], step_keys[t])
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs)),
+            np.asarray(ref["log_marginal_likelihood"]), rtol=1e-6)
+
+    def test_ancestors_match_infer(self):
+        obs = _observations()
+        ref = inference.infer(
+            "smc", obs, *_components(), K, key=KEY,
+            return_ancestral_indices=True, return_latents=False)
+        fs, infos = _run_online(obs, KEY, return_ancestors=True)
+        anc = np.stack([np.asarray(i["ancestral_index"]) for i in infos])
+        np.testing.assert_array_equal(
+            anc, np.asarray(ref["ancestral_indices"]))
+
+
+class TestServing:
+    def test_jitted_step_no_retrace(self):
+        """The serving pattern: jit once, dispatch per observation."""
+        obs = _observations()
+        init_fn, step_fn = online.make_online_filter(*_components(), K)
+        traces = []
+
+        @jax.jit
+        def jstep(fs, o, k):
+            traces.append(None)
+            return step_fn(fs, o, k)
+
+        step_keys = online.split_step_keys(KEY, T)
+        fs = jax.jit(init_fn)(obs[0], step_keys[0])
+        for t in range(1, T):
+            fs, info = jstep(fs, obs[t], step_keys[t])
+        assert len(traces) == 1
+        ref = inference.infer(
+            "smc", obs, *_components(), K, key=KEY,
+            return_log_marginal_likelihood=True, return_latents=False)
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs)),
+            np.asarray(ref["log_marginal_likelihood"]), rtol=1e-6)
+
+    def test_donated_carry(self):
+        """The carry donates (buffer reuse - serving memory stays flat)."""
+        obs = _observations()
+        init_fn, step_fn = online.make_online_filter(*_components(), K)
+        jstep = jax.jit(step_fn, donate_argnums=0)
+        step_keys = online.split_step_keys(KEY, T)
+        fs = init_fn(obs[0], step_keys[0])
+        for t in range(1, T):
+            fs, _ = jstep(fs, obs[t], step_keys[t])
+        assert np.isfinite(
+            np.asarray(online.log_marginal_likelihood(fs))).all()
+
+    def test_single_key_mode(self):
+        """Plain per-step keys (no parity pairs) also work."""
+        obs = _observations()
+        init_fn, step_fn = online.make_online_filter(*_components(), K)
+        keys = jax.random.split(jax.random.PRNGKey(5), T)
+        fs = init_fn(obs[0], keys[0])
+        preds = []
+        for t in range(1, T):
+            fs, info = step_fn(fs, obs[t], keys[t])
+            preds.append(info["log_pred"])
+        # Predictive increments telescope to the running log-Z minus the
+        # initial contribution.
+        init_lz = online.log_marginal_likelihood(init_fn(obs[0], keys[0]))
+        total = np.asarray(init_lz) + np.sum(
+            np.stack([np.asarray(p) for p in preds]), axis=0)
+        np.testing.assert_allclose(
+            total, np.asarray(online.log_marginal_likelihood(fs)),
+            atol=1e-5)
+
+    def test_info_fields(self):
+        obs = _observations()
+        fs, infos = _run_online(obs, KEY)
+        for info in infos:
+            assert info["ess"].shape == (B,)
+            assert info["log_pred"].shape == (B,)
+            assert bool(info["resampled"].all())
+            assert np.all(np.asarray(info["ess"]) >= 1.0 - 1e-5)
+            assert np.all(np.asarray(info["ess"]) <= K + 1e-3)
+
+
+class TestValidation:
+    def test_soft_adaptive_rejected(self):
+        with pytest.raises(ValueError, match="soft"):
+            online.make_online_filter(*_components(), K,
+                                      resampling_method="soft",
+                                      resampling_criterion=0.5)
+
+    def test_ot_ancestors_rejected(self):
+        with pytest.raises(ValueError, match="ancestors"):
+            online.make_online_filter(*_components(), K,
+                                      resampling_method="ot",
+                                      return_ancestors=True)
+
+    def test_lookahead_soft_rejected(self):
+        with pytest.raises(ValueError, match="lookahead"):
+            online.make_online_filter(*_components(), K,
+                                      resampling_method="soft",
+                                      lookahead=lambda **kw: 0.0)
+
+    def test_len_raises(self):
+        view = online._CausalObservations(jnp.zeros((3,)))
+        with pytest.raises(TypeError, match="len"):
+            len(view)
