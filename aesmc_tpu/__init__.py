@@ -31,6 +31,7 @@ from . import tmc
 from . import statistics
 from . import train
 from . import utils
+from . import variance
 
 __all__ = [
     "checkpoint", "csmc", "distributions", "inference", "losses", "math",

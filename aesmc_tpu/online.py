@@ -73,6 +73,10 @@ class OnlineFilterState(NamedTuple):
         prev_observation: the last consumed observation `[batch, ...]`
             pytree (what components see as `previous_observations[-1]`).
         t: int32 scalar - number of observations consumed so far.
+        eve: `[batch, num_particles]` int32 time-0 root-ancestor labels,
+            or None - carried when `track_genealogy=True` (feeds the
+            running Lee-Whiteley variance estimate; `aesmc_tpu.variance`).
+        num_events: `[batch]` int32 resampling-event counts, or None.
     """
 
     latent: Any
@@ -80,6 +84,8 @@ class OnlineFilterState(NamedTuple):
     log_z_contrib: jnp.ndarray
     prev_observation: Any
     t: jnp.ndarray
+    eve: Any = None
+    num_events: Any = None
 
 
 def log_marginal_likelihood(filter_state: OnlineFilterState) -> jnp.ndarray:
@@ -154,6 +160,7 @@ def make_online_filter(initial,
                        ot_block_size=None,
                        ot_rank=None,
                        return_ancestors: bool = False,
+                       track_genealogy: bool = False,
                        mesh=None,
                        data_axis: str = "data",
                        particle_axis: str = "particle"):
@@ -178,6 +185,13 @@ def make_online_filter(initial,
             each step in the info dict (off by default - serving rarely
             needs lineage, and the fused kernel then skips computing
             them).
+        track_genealogy: carry time-0 root-ancestor (eve) labels and
+            resampling-event counts through the state, and emit a
+            running single-run Lee-Whiteley estimate of the relative
+            variance of the log-Z estimate as `info['log_z_rel_var']`
+            (`aesmc_tpu.variance.log_z_variance` semantics - a live
+            filter-health metric for serving). Discrete and soft
+            methods only (OT has no ancestors).
         mesh / data_axis / particle_axis: optional GSPMD sharding
             constraints on the carried latent and weights, as in `infer`.
 
@@ -212,7 +226,12 @@ def make_online_filter(initial,
             raise ValueError(
                 "resampling_method='ot' transports particles (no "
                 "discrete ancestors): ancestor indices are unavailable")
+        if track_genealogy:
+            raise ValueError(
+                "resampling_method='ot' transports particles (no "
+                "discrete ancestors): genealogy tracking is unavailable")
     adaptive = resampling_criterion != "always"
+    need_indices = return_ancestors or track_genealogy
     if adaptive:
         ess_threshold = float(resampling_criterion) * num_particles
     log_num_particles = _stdmath.log(num_particles)
@@ -249,12 +268,21 @@ def make_online_filter(initial,
             emission(latents=[latent_0], time=0),
             state.expand_observation(observation, num_particles))
         log_weight_0 = _constrain(initial_lp + emission_lp - proposal_lp)
+        if track_genealogy:
+            eve = jnp.broadcast_to(
+                jnp.arange(num_particles, dtype=jnp.int32),
+                (batch_size, num_particles))
+            num_events = jnp.zeros((batch_size,), jnp.int32)
+        else:
+            eve = num_events = None
         return OnlineFilterState(
             latent=latent_0,
             log_weight=log_weight_0,
             log_z_contrib=jnp.zeros((batch_size,), log_weight_0.dtype),
             prev_observation=observation,
-            t=jnp.asarray(1, jnp.int32))
+            t=jnp.asarray(1, jnp.int32),
+            eve=eve,
+            num_events=num_events)
 
     def step_fn(filter_state, observation, key):
         """Consumes one observation y_t (t >= 1); one filter update."""
@@ -299,7 +327,7 @@ def make_online_filter(initial,
                     prev_log_weight, resample_key, prev_latent,
                     alpha=soft_resampling_alpha,
                     implementation=resolved_impl,
-                    need_indices=return_ancestors)
+                    need_indices=need_indices)
             contribution = (jax.nn.logsumexp(prev_log_weight, axis=1) -
                             log_num_particles)
             base = corrected
@@ -315,7 +343,7 @@ def make_online_filter(initial,
                         first_stage, resample_key, (prev_latent, log_nu),
                         method=resampling_method,
                         implementation=resolved_impl,
-                        need_indices=return_ancestors)
+                        need_indices=need_indices)
                 base = (jax.nn.logsumexp(first_stage, axis=1,
                                          keepdims=True) -
                         jax.nn.logsumexp(prev_log_weight, axis=1,
@@ -326,7 +354,7 @@ def make_online_filter(initial,
                         prev_log_weight, resample_key, prev_latent,
                         method=resampling_method,
                         implementation=resolved_impl,
-                        need_indices=return_ancestors)
+                        need_indices=need_indices)
                 base = jnp.zeros_like(prev_log_weight)
             contribution = (jax.nn.logsumexp(prev_log_weight, axis=1) -
                             log_num_particles)
@@ -344,7 +372,7 @@ def make_online_filter(initial,
                         first_stage, resample_key, (prev_latent, log_nu),
                         method=resampling_method,
                         implementation=resolved_impl,
-                        need_indices=return_ancestors)
+                        need_indices=need_indices)
                 resampled_base = (
                     jax.nn.logsumexp(first_stage, axis=1,
                                      keepdims=True) -
@@ -356,7 +384,7 @@ def make_online_filter(initial,
                         prev_log_weight, resample_key, prev_latent,
                         method=resampling_method,
                         implementation=resolved_impl,
-                        need_indices=return_ancestors)
+                        need_indices=need_indices)
                 resampled_base = jnp.zeros_like(prev_log_weight)
             do = pre_ess < ess_threshold                        # [B]
             if sampled is not None:
@@ -398,17 +426,34 @@ def make_online_filter(initial,
         increment = transition_lp + emission_lp - proposal_lp
         log_weight_t = _constrain(base + increment)
 
+        if track_genealogy:
+            eve = jnp.take_along_axis(filter_state.eve, ancestral_index,
+                                      axis=1)
+            num_events = (filter_state.num_events +
+                          did_resample.astype(jnp.int32))
+        else:
+            eve = num_events = None
+
         new_state = OnlineFilterState(
             latent=latent_t,
             log_weight=log_weight_t,
             log_z_contrib=filter_state.log_z_contrib + contribution,
             prev_observation=observation,
-            t=filter_state.t + 1)
+            t=filter_state.t + 1,
+            eve=eve,
+            num_events=num_events)
         info = {
             "log_pred": log_marginal_likelihood(new_state) - log_pred_base,
             "ess": pre_ess,
             "resampled": did_resample,
         }
+        if track_genealogy:
+            from . import variance as _variance
+            s = _variance._family_weight_sums(log_weight_t, eve)
+            cross = 1.0 - jnp.sum(s * s, axis=-1)
+            factor = (num_particles / (num_particles - 1.0)) ** (
+                num_events.astype(log_weight_t.dtype) + 1.0)
+            info["log_z_rel_var"] = jnp.maximum(1.0 - factor * cross, 0.0)
         if return_ancestors:
             info["ancestral_index"] = ancestral_index
         return new_state, info

@@ -202,6 +202,50 @@ class TestServing:
             assert np.all(np.asarray(info["ess"]) <= K + 1e-3)
 
 
+class TestGenealogy:
+    def test_running_variance_matches_batch_estimator(self):
+        """track_genealogy's final info['log_z_rel_var'] == the offline
+        Lee-Whiteley estimate on the batch run's ancestors (indices are
+        bit-identical under matched keys)."""
+        from aesmc_tpu import variance
+
+        obs = _observations()
+        ref = inference.infer(
+            "smc", obs, *_components(), K, key=KEY,
+            return_ancestral_indices=True, return_latents=False)
+        offline = variance.log_z_variance(ref["log_weight"],
+                                          ref["ancestral_indices"])
+        fs, infos = _run_online(obs, KEY, track_genealogy=True)
+        np.testing.assert_allclose(
+            np.asarray(infos[-1]["log_z_rel_var"]), np.asarray(offline),
+            rtol=1e-5, atol=1e-6)
+        # Carried eves == offline eve composition.
+        np.testing.assert_array_equal(
+            np.asarray(fs.eve),
+            np.asarray(variance.eve_indices(ref["ancestral_indices"])))
+        assert np.all(np.asarray(fs.num_events) == T - 1)
+
+    def test_adaptive_event_counts(self):
+        fs, infos = _run_online(_observations(), KEY,
+                                resampling_criterion=0.2,
+                                track_genealogy=True)
+        resampled = np.stack([np.asarray(i["resampled"]) for i in infos])
+        np.testing.assert_array_equal(np.asarray(fs.num_events),
+                                      resampled.sum(0))
+        assert np.all(np.asarray(infos[-1]["log_z_rel_var"]) >= 0)
+
+    def test_untracked_state_has_none_fields(self):
+        fs, infos = _run_online(_observations(), KEY)
+        assert fs.eve is None and fs.num_events is None
+        assert "log_z_rel_var" not in infos[-1]
+
+    def test_ot_genealogy_rejected(self):
+        with pytest.raises(ValueError, match="genealogy"):
+            online.make_online_filter(*_components(), K,
+                                      resampling_method="ot",
+                                      track_genealogy=True)
+
+
 class TestValidation:
     def test_soft_adaptive_rejected(self):
         with pytest.raises(ValueError, match="soft"):
