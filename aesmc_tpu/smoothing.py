@@ -1,35 +1,52 @@
-"""Particle smoothing: forward-filter backward-simulation (FFBS).
+"""Particle smoothing: FFBS trajectories and PaRIS online functionals.
 
-Godsill, Doucet & West (2004): given a particle filter's stored
-(un-lineage-traced) latents and per-step log-weights, draw M complete
-smoothing trajectories from the joint smoothing distribution
-p(x_{0:T-1} | y_{0:T-1}) by a backward pass - at each step t the
-ancestor of trajectory m is drawn from
+Two smoothers, both absent from the reference (its `statistics` only
+computes filtering expectations):
 
-    w_t^i * p(x_{t+1}^{(m)} | x_t^i)
+1. `backward_simulation` - forward-filter backward-simulation (Godsill,
+   Doucet & West 2004): given a particle filter's stored
+   (un-lineage-traced) latents and per-step log-weights, draw M complete
+   smoothing trajectories from the joint smoothing distribution
+   p(x_{0:T-1} | y_{0:T-1}) by a backward pass - at each step t the
+   ancestor of trajectory m is drawn from
 
-so, unlike lineage tracing (`inference.get_resampled_latents`, which
-collapses onto the few surviving forward lineages), FFBS trajectories
-do not degenerate at early timesteps. O(T * K * M) per batch row via a
-[B, K, M] pairwise transition tile per step - the same broadcastable-
-transition contract as `aesmc_tpu.tmc` (transition called with
-[B, K, 1, ...] parents, log_prob evaluated at [B, 1, M, ...] children).
+       w_t^i * p(x_{t+1}^{(m)} | x_t^i)
 
-The reference package has no smoother (beyond-parity capability; its
-`statistics` only computes filtering expectations). Run the filter with
-`infer('smc', ..., return_original_latents=True, return_log_weights=
-True)` and hand both here.
+   so, unlike lineage tracing (`inference.get_resampled_latents`, which
+   collapses onto the few surviving forward lineages), FFBS trajectories
+   do not degenerate at early timesteps. O(T * K * M) per batch row via
+   a [B, K, M] pairwise transition tile per step - the same
+   broadcastable-transition contract as `aesmc_tpu.tmc` (transition
+   called with [B, K, 1, ...] parents, log_prob evaluated at
+   [B, 1, M, ...] children). Needs the whole filter run stored
+   (`infer('smc', ..., return_original_latents=True,
+   return_log_weights=True)`).
+
+2. `paris` - the Particle-based Rapid Incremental Smoother (Olsson &
+   Westerborn 2017): smoothed expectations of ADDITIVE functionals
+   S = h0(x_0) + sum_t h(x_{t-1}, x_t, t) computed FORWARD-ONLY with
+   O(1) memory in T - each particle carries a running statistic tau^i,
+   updated at every filter step by averaging over N backward-kernel
+   draws (N >= 2 gives the stable, asymptotically-normal regime; the
+   N=1 case degenerates to poor-man's smoothing, i.e. lineage tracing).
+   This is the machinery behind online EM, online score/gradient
+   (Fisher identity) estimation, and streaming smoothed sufficient
+   statistics - nothing is stored per timestep, so T is unbounded.
 """
 
 from __future__ import annotations
 
+import math as _stdmath
+
 import jax
 import jax.numpy as jnp
 
-from .inference import TimeIndex, stack_observations
+from . import resampling, state
+from .inference import (ObservationSequence, TimeIndex,
+                        stack_observations, _first_leaf)
 from .tmc import _expand_prev, _expand_new, _pairwise_log_prob
 
-__all__ = ["backward_simulation"]
+__all__ = ["backward_simulation", "paris"]
 
 
 def backward_simulation(original_latents, log_weights, transition,
@@ -108,3 +125,203 @@ def backward_simulation(original_latents, log_weights, transition,
     return jax.tree_util.tree_map(
         lambda r, l: jnp.concatenate([r, l[None]], axis=0), traj,
         last)
+
+
+def paris(observations, initial, transition, emission, proposal,
+          num_particles: int, h, key=None, h0=None,
+          num_backward_draws: int = 2,
+          resampling_method: str = "systematic",
+          resampling_implementation="auto",
+          pairwise: str = "auto",
+          remat: bool = True,
+          scan_unroll: int = 1):
+    """PaRIS: forward-only smoothing of an additive functional.
+
+    Runs a fresh SMC filter over `observations` while every particle
+    carries the statistic
+
+        tau_t^i ~= E[ h0(x_0) + sum_{s<=t} h(x_{s-1}, x_s, s)
+                      | x_t = x_t^i, y_{0:t} ]
+
+    updated at each step as the average over `num_backward_draws`
+    draws J ~ Categorical_j( w_{t-1}^j * p(x_t^i | x_{t-1}^j) ) of
+    `tau_{t-1}^J + h(x_{t-1}^J, x_t^i, t)` (Olsson & Westerborn 2017,
+    Algorithm 2). The returned smoothed expectation
+    `sum_i wbar_T^i tau_T^i` is a consistent estimator of
+    E[S | y_{0:T-1}] at O(K^2) compute and O(K) memory per step -
+    nothing is stored per timestep (contrast `backward_simulation`,
+    which needs the whole [T, B, K] run in memory).
+
+    Args:
+        observations: list of `[batch, ...]` pytrees or stacked
+            `[T, batch, ...]` pytree.
+        initial, transition, emission, proposal: standard components
+            (module docstring of `aesmc_tpu.inference`).
+        num_particles: K.
+        h: additive-increment callable
+            `h(previous_latent, latent, time) -> [batch, K]` or
+            `[batch, K, D]` - evaluated POINTWISE on matched
+            (backward-sampled parent, current particle) pairs, so any
+            jnp arithmetic of the two latents works (no broadcast
+            contract). `time` is a TimeIndex >= 1.
+        h0: optional `h0(latent_0) -> [batch, K(, D)]` initial term
+            (default zeros).
+        num_backward_draws: N backward-kernel draws per particle per
+            step. N=2 (default) is the PaRIS sweet spot: O(1) extra
+            cost, keeps the statistic's variance O(T) (N=1 collapses
+            to poor-man's/lineage smoothing with O(T^2/K) variance).
+        resampling_method: 'systematic' | 'stratified' | 'multinomial'
+            (the filter's resampler; the backward draws are always
+            multinomial, per the algorithm).
+        pairwise: 'broadcast' | 'vmap' | 'auto' - how the [B, K, K]
+            backward-kernel tile is formed (same contract as
+            `aesmc_tpu.tmc`): 'broadcast' builds the transition once
+            from [B, K, 1] parents (arithmetic transitions);
+            'vmap' maps it over parents (neural transitions).
+        remat: rematerialize the scan body on the backward pass.
+
+    Returns:
+        dict with 'smoothed' `[batch(, D)]` (the estimate of
+        E[S | y]), 'tau' `[batch, K(, D)]` (final per-particle
+        statistics), 'log_weight' `[batch, K]`,
+        'log_marginal_likelihood' `[batch]`.
+    """
+    if num_backward_draws < 1:
+        raise ValueError(
+            "num_backward_draws must be >= 1. currently = "
+            f"{num_backward_draws}")
+    if pairwise not in ("auto", "broadcast", "vmap"):
+        raise ValueError(
+            f"pairwise must be 'auto', 'broadcast' or 'vmap'. "
+            f"currently = {pairwise}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    stacked_obs = stack_observations(observations)
+    obs_seq = ObservationSequence(stacked_obs)
+    num_timesteps = len(obs_seq)
+    batch_size = _first_leaf(stacked_obs).shape[1]
+    k = num_particles
+    log_k = _stdmath.log(k)
+    # Per step: resampling key, proposal key, backward-draw key.
+    step_keys = jax.random.split(key, (num_timesteps, 3))
+    resolved_impl = resampling.resolve_implementation(
+        (batch_size, k), resampling_method, resampling_implementation)
+
+    # ---- t = 0 (hoisted).
+    proposal_dist = proposal(time=0, observations=obs_seq)
+    latent_0 = state.sample(proposal_dist, batch_size, k, step_keys[0, 1])
+    log_weight_0 = (state.log_prob(initial(), latent_0) +
+                    state.log_prob(emission(latents=[latent_0], time=0),
+                                   state.expand_observation(obs_seq[0], k))
+                    - state.log_prob(proposal_dist, latent_0))
+    tau_0 = (jnp.asarray(h0(latent_0)) if h0 is not None
+             else jnp.zeros((batch_size, k), log_weight_0.dtype))
+
+    if num_timesteps == 1:
+        w = jax.nn.softmax(log_weight_0, axis=1)
+        smoothed = jnp.einsum("bk,bk...->b...", w, tau_0)
+        return {"smoothed": smoothed, "tau": tau_0,
+                "log_weight": log_weight_0,
+                "log_marginal_likelihood":
+                    jax.nn.logsumexp(log_weight_0, axis=1) - log_k}
+
+    # Resolve 'auto' ONCE, outside the scan, with jax.eval_shape (an
+    # in-body probe would survive DCE under jax.checkpoint - the
+    # measured round-3 trap; see aesmc_tpu/tmc.py).
+    resolved_pairwise = pairwise
+    if resolved_pairwise == "auto":
+        def _probe(lat, obs0):
+            time = TimeIndex(jnp.asarray(1, jnp.int32))
+            dist = transition(previous_latents=[_expand_prev(lat)],
+                              time=time, previous_observations=[obs0])
+            return _pairwise_log_prob(
+                dist, _expand_new(jax.tree_util.tree_map(
+                    lambda v: v[:, :1], lat)))
+        try:
+            jax.eval_shape(_probe, latent_0, obs_seq[0])
+            resolved_pairwise = "broadcast"
+        except Exception:
+            resolved_pairwise = "vmap"
+
+    def step(carry, inputs):
+        prev_latent, prev_log_weight, tau = carry
+        obs_t, obs_prev, t, keys_t = inputs
+        time = TimeIndex(t)
+        prev_obs_list = [obs_prev]
+
+        # Filter update: resample -> propose -> weight (the engine's
+        # always-resample branch; see aesmc_tpu/inference.py).
+        _, resampled_parent = resampling.sample_ancestral_index_and_resample(
+            prev_log_weight, keys_t[0], prev_latent,
+            method=resampling_method, implementation=resolved_impl,
+            need_indices=False)
+        proposal_dist = proposal(previous_latents=[resampled_parent],
+                                 time=time, observations=obs_seq)
+        latent_t = state.sample(proposal_dist, batch_size, k, keys_t[1])
+        log_weight_t = (
+            state.log_prob(
+                transition(previous_latents=[resampled_parent], time=time,
+                           previous_observations=prev_obs_list),
+                latent_t) +
+            state.log_prob(
+                emission(latents=[latent_t], time=time,
+                         previous_observations=prev_obs_list),
+                state.expand_observation(obs_t, k)) -
+            state.log_prob(proposal_dist, latent_t))
+        contribution = (jax.nn.logsumexp(prev_log_weight, axis=1) - log_k)
+
+        # Backward-kernel logits over PRE-resampling parents:
+        # logits[b, i_child, j_parent]
+        #   = log w_{t-1}^j + log p(x_t^i | x_{t-1}^j).
+        if resolved_pairwise == "broadcast":
+            pair_dist = transition(
+                previous_latents=[_expand_prev(prev_latent)], time=time,
+                previous_observations=prev_obs_list)
+            a = _pairwise_log_prob(pair_dist, _expand_new(latent_t))
+        else:
+            def per_parent(parent):
+                parent1 = jax.tree_util.tree_map(lambda x: x[:, None],
+                                                 parent)
+                dist = transition(previous_latents=[parent1], time=time,
+                                  previous_observations=prev_obs_list)
+                return state.log_prob(dist, latent_t)        # [B, K]
+            a = jax.vmap(per_parent, in_axes=1, out_axes=1)(prev_latent)
+        # a[b, j_parent, i_child] -> transpose to child-major.
+        logits = (jnp.swapaxes(a, 1, 2) +
+                  prev_log_weight[:, None, :])               # [B, Ki, Kj]
+
+        draw_keys = jax.random.split(keys_t[2], num_backward_draws)
+        acc = None
+        for n in range(num_backward_draws):
+            j_idx = jax.random.categorical(draw_keys[n], logits,
+                                           axis=-1)          # [B, K]
+            tau_j = jnp.take_along_axis(
+                tau, j_idx.reshape(j_idx.shape + (1,) * (tau.ndim - 2)),
+                axis=1)
+            parent_j = jax.tree_util.tree_map(
+                lambda x: jnp.take_along_axis(
+                    x, j_idx.reshape(j_idx.shape + (1,) * (x.ndim - 2)),
+                    axis=1),
+                prev_latent)
+            term = tau_j + jnp.asarray(h(parent_j, latent_t, time))
+            acc = term if acc is None else acc + term
+        tau_t = acc / num_backward_draws
+
+        return (latent_t, log_weight_t, tau_t), contribution
+
+    rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
+    prev_obs = jax.tree_util.tree_map(lambda x: x[:-1], stacked_obs)
+    times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
+    body = jax.checkpoint(step) if remat else step
+    (last_latent, last_log_weight, tau_last), contributions = \
+        jax.lax.scan(body, (latent_0, log_weight_0, tau_0),
+                     (rest_obs, prev_obs, times, step_keys[1:]),
+                     unroll=scan_unroll)
+
+    w = jax.nn.softmax(last_log_weight, axis=1)
+    smoothed = jnp.einsum("bk,bk...->b...", w, tau_last)
+    log_ml = (jnp.sum(contributions, axis=0) +
+              jax.nn.logsumexp(last_log_weight, axis=1) - log_k)
+    return {"smoothed": smoothed, "tau": tau_last,
+            "log_weight": last_log_weight,
+            "log_marginal_likelihood": log_ml}

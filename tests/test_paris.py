@@ -1,0 +1,168 @@
+"""PaRIS forward-only smoothing (aesmc_tpu.smoothing.paris).
+
+Ground truth: exact RTS smoothed moments of the LGSSM, including
+lag-one cross-moments E[x_{t-1} x_t | y] from the standard RTS gain
+J_t = a * Vf_t / Ppred_{t+1}, Cov(x_t, x_{t+1} | y) = J_t * Vs_{t+1}.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aesmc_tpu import smoothing
+from aesmc_tpu.models import kalman, lgssm
+
+KEY = jax.random.PRNGKey(0)
+A, Q, EM, R0 = 0.9, 1.0, 1.0, 0.5
+T, B, K = 20, 2, 1024
+
+
+def _components():
+    """LGSSM with the ANALYTICALLY OPTIMAL proposal (conjugate one-step
+    posterior): q(x_t | x_{t-1}, y_t) = N((a x/q + em y/r) / prec, 1/prec)
+    with prec = 1/q + em^2/r - so the filter's MC error is tiny and the
+    exact-RTS comparisons below are sharp."""
+    initial = lgssm.Initial(0.0, 1.0)
+    transition = lgssm.Transition.create(A, np.sqrt(Q))
+    emission = lgssm.Emission.create(EM, np.sqrt(R0))
+    prec_t = 1.0 / Q + EM ** 2 / R0
+    prec_0 = 1.0 / 1.0 + EM ** 2 / R0
+    proposal = lgssm.Proposal(
+        lin_0_weight=jnp.asarray((EM / R0) / prec_0),
+        lin_0_bias=jnp.asarray(0.0),
+        lin_t_weight=jnp.asarray([(A / Q) / prec_t, (EM / R0) / prec_t]),
+        lin_t_bias=jnp.asarray(0.0),
+        scale_0=float(np.sqrt(1.0 / prec_0)),
+        scale_t=float(np.sqrt(1.0 / prec_t)))
+    return initial, transition, emission, proposal
+
+
+def _params():
+    return kalman.KalmanParams(
+        initial_mean=0.0, initial_variance=1.0,
+        transition_mult=A, transition_offset=0.0, transition_variance=Q,
+        emission_mult=EM, emission_offset=0.0, emission_variance=R0)
+
+
+def _observations():
+    """Observations GENERATED FROM THE MODEL (the regime every oracle
+    test in this suite uses - off-model data inflates the proposal
+    mismatch and the log-Z Jensen bias at finite K)."""
+    from aesmc_tpu import statistics
+    initial, transition, emission, _ = _components()
+    _, obs = statistics.sample_from_prior(
+        initial, transition, emission, T, B, key=jax.random.PRNGKey(11))
+    return obs
+
+
+def _exact_moments(obs_b):
+    """(smoothed means, smoothed vars, lag-one cross moments E[x_t x_{t+1}])."""
+    params = _params()
+    fm, fv = kalman.kalman_filter(obs_b, params)[:2]
+    sm, sv = kalman.kalman_smoother(obs_b, params)
+    ppred = A ** 2 * fv[:-1] + Q                    # prior var at t+1
+    j = A * fv[:-1] / ppred                         # RTS gain J_t
+    cross = j * sv[1:] + sm[:-1] * sm[1:]           # E[x_t x_{t+1} | y]
+    return sm, sv, cross
+
+
+class TestExactness:
+    def test_smoothed_sum_of_states(self):
+        obs = _observations()
+        out = smoothing.paris(
+            obs, *_components(), K,
+            h=lambda xp, xc, t: xc, h0=lambda x0: x0, key=KEY)
+        est = np.asarray(out["smoothed"])
+        for b in range(B):
+            sm, _, _ = _exact_moments(np.asarray(obs[:, b], np.float64))
+            assert abs(est[b] - sm.sum()) < 0.35, (b, est[b], sm.sum())
+
+    def test_smoothed_cross_moments(self):
+        """E[sum_t x_{t-1} x_t | y] - the EM sufficient statistic."""
+        obs = _observations()
+        out = smoothing.paris(
+            obs, *_components(), K,
+            h=lambda xp, xc, t: xp * xc, key=KEY)
+        est = np.asarray(out["smoothed"])
+        for b in range(B):
+            _, _, cross = _exact_moments(np.asarray(obs[:, b], np.float64))
+            assert abs(est[b] - cross.sum()) < 0.5, (b, est[b], cross.sum())
+
+    def test_log_ml_matches_exact(self):
+        obs = _observations()
+        out = smoothing.paris(obs, *_components(), K,
+                              h=lambda xp, xc, t: xc, key=KEY)
+        lml = np.asarray(out["log_marginal_likelihood"])
+        for b in range(B):
+            exact = kalman.kalman_filter(
+                np.asarray(obs[:, b], np.float64), _params())[-1]
+            assert abs(lml[b] - exact) < 0.5, (b, lml[b], exact)
+
+
+class TestStructure:
+    def test_vmap_matches_broadcast(self):
+        """Identical logits => identical draws => identical outputs."""
+        obs = jax.random.normal(jax.random.PRNGKey(5), (6, 2))
+        o1 = smoothing.paris(obs, *_components(), 64,
+                             h=lambda xp, xc, t: xc, key=KEY,
+                             pairwise="broadcast")
+        o2 = smoothing.paris(obs, *_components(), 64,
+                             h=lambda xp, xc, t: xc, key=KEY,
+                             pairwise="vmap")
+        np.testing.assert_allclose(np.asarray(o1["smoothed"]),
+                                   np.asarray(o2["smoothed"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o1["tau"]),
+                                   np.asarray(o2["tau"]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_vector_statistic(self):
+        """[B, K, D] increments carry through (joint sufficient stats)."""
+        obs = jax.random.normal(jax.random.PRNGKey(6), (5, 2))
+        out = smoothing.paris(
+            obs, *_components(), 128,
+            h=lambda xp, xc, t: jnp.stack([xc, xp * xc, xc * xc], axis=-1),
+            h0=lambda x0: jnp.stack([x0, jnp.zeros_like(x0),
+                                     x0 * x0], axis=-1),
+            key=KEY)
+        assert out["smoothed"].shape == (2, 3)
+        assert out["tau"].shape == (2, 128, 3)
+        assert np.all(np.isfinite(np.asarray(out["smoothed"])))
+        # Third column is sum of second moments: strictly positive.
+        assert np.all(np.asarray(out["smoothed"])[:, 2] > 0)
+
+    def test_t1_returns_h0_expectation(self):
+        obs = jax.random.normal(jax.random.PRNGKey(7), (1, 2))
+        out = smoothing.paris(obs, *_components(), 256,
+                              h=lambda xp, xc, t: xc,
+                              h0=lambda x0: x0, key=KEY)
+        w = jax.nn.softmax(out["log_weight"], axis=1)
+        # smoothed == weighted tau == weighted h0 here.
+        np.testing.assert_allclose(
+            np.asarray(out["smoothed"]),
+            np.asarray(jnp.sum(w * out["tau"], axis=1)), rtol=1e-6)
+
+    def test_jittable_and_remat(self):
+        obs = jax.random.normal(jax.random.PRNGKey(8), (5, 2))
+        f = jax.jit(lambda o: smoothing.paris(
+            obs, *_components(), 64, h=lambda xp, xc, t: xc,
+            key=KEY, remat=True)["smoothed"])
+        assert np.all(np.isfinite(np.asarray(f(obs))))
+
+    def test_single_draw_allowed(self):
+        obs = jax.random.normal(jax.random.PRNGKey(9), (4, 1))
+        out = smoothing.paris(obs, *_components(), 64,
+                              h=lambda xp, xc, t: xc, key=KEY,
+                              num_backward_draws=1)
+        assert np.all(np.isfinite(np.asarray(out["smoothed"])))
+
+    def test_validation(self):
+        obs = jax.random.normal(jax.random.PRNGKey(9), (4, 1))
+        with pytest.raises(ValueError, match="num_backward_draws"):
+            smoothing.paris(obs, *_components(), 8,
+                            h=lambda xp, xc, t: xc,
+                            num_backward_draws=0)
+        with pytest.raises(ValueError, match="pairwise"):
+            smoothing.paris(obs, *_components(), 8,
+                            h=lambda xp, xc, t: xc, pairwise="bogus")
