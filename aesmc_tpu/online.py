@@ -56,7 +56,8 @@ from .inference import TimeIndex
 
 __all__ = [
     "OnlineFilterState", "make_online_filter", "log_marginal_likelihood",
-    "effective_sample_size", "split_step_keys",
+    "effective_sample_size", "split_step_keys", "export_step",
+    "load_step",
 ]
 
 
@@ -459,3 +460,56 @@ def make_online_filter(initial,
         return new_state, info
 
     return init_fn, step_fn
+
+
+def export_step(step_fn, filter_state, observation, key, platforms=None):
+    """AOT-compiles and serializes a streaming step to a portable
+    artifact (StableHLO via `jax.export`).
+
+    The returned bytes embed the model: parameters are baked in as
+    constants and the step's compute graph is self-contained, so the
+    serving process needs NO model code - just
+    `online.load_step(blob)` (or any StableHLO runtime) plus the
+    deserialized carry. Shapes/dtypes are fixed to the example
+    arguments, matching the fixed-shape serving contract.
+
+    Args:
+        step_fn: the step function from `make_online_filter`.
+        filter_state, observation, key: example arguments fixing
+            shapes/dtypes (e.g. the output of `init_fn` and the first
+            inputs).
+        platforms: optional list like `['tpu']` / `['cpu', 'tpu']` to
+            target platforms other than the current default backend
+            (cross-platform lowering).
+
+    Returns:
+        bytes - persist to disk/object storage; reload anywhere with
+        `load_step`.
+    """
+    from jax import export as jexport
+    _register_state_serialization(jexport)
+    exported = jexport.export(jax.jit(step_fn), platforms=platforms)(
+        filter_state, observation, key)
+    return bytes(exported.serialize())
+
+
+_SERIALIZATION_REGISTERED = False
+
+
+def _register_state_serialization(jexport):
+    """One-time pytree-serialization registration for the carry type."""
+    global _SERIALIZATION_REGISTERED
+    if not _SERIALIZATION_REGISTERED:
+        jexport.register_namedtuple_serialization(
+            OnlineFilterState,
+            serialized_name="aesmc_tpu.online.OnlineFilterState")
+        _SERIALIZATION_REGISTERED = True
+
+
+def load_step(blob):
+    """Deserializes `export_step` bytes into a callable
+    `(filter_state, observation, key) -> (filter_state, info)` - the
+    deployment-side entry point (no model code required)."""
+    from jax import export as jexport
+    _register_state_serialization(jexport)
+    return jexport.deserialize(blob).call

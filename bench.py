@@ -300,6 +300,30 @@ def main():
         f"{B5*K5*T5/dt5/1e6:.1f} M particle-steps/s through the "
         f"differentiable resampler")
 
+    # ---- Serving: streaming-filter step latency at the headline shape.
+    # One jitted dispatch per arriving observation (aesmc_tpu.online) -
+    # the real-time per-update cost a serving deployment pays. Dispatches
+    # are pipelined (no per-step fetch); one scalar fetch at the end
+    # amortizes the ~28 ms tunnel RPC across the whole run.
+    from aesmc_tpu import online
+    init_fn, step_fn = online.make_online_filter(
+        initial, transition, emission, proposal, K)
+    jstep = jax.jit(step_fn, donate_argnums=0)
+    serve_keys = jax.random.split(key, 260)
+    fs = jax.jit(init_fn)(obs[0], serve_keys[0])
+    for i in range(1, 11):                                  # warmup+compile
+        fs, info_s = jstep(fs, obs[i % T], serve_keys[i])
+    jnp.asarray(info_s["log_pred"]).block_until_ready()
+    m_serve = 200
+    t0 = time.time()
+    for i in range(m_serve):
+        fs, info_s = jstep(fs, obs[(11 + i) % T], serve_keys[(11 + i) % 260])
+    float(info_s["log_pred"][0])                            # drain pipeline
+    dt_serve = (time.time() - t0) / m_serve
+    log(f"serving (online filter) B={B} K={K}: {dt_serve*1e3:.2f} ms/"
+        f"observation = {1/dt_serve:.0f} updates/s = "
+        f"{B*K/dt_serve/1e6:.1f} M particle-steps/s streamed")
+
     vs_baseline = None
     if BASELINE_FILE.exists():
         baseline = json.loads(BASELINE_FILE.read_text())
@@ -322,6 +346,7 @@ def main():
         "train_steps_per_sec": 1 / dt2,
         "tmc_train_steps_per_sec": 1 / dt3,
         "soft_1m_train_ms_per_step": dt5 * 1e3,
+        "serving_ms_per_observation": dt_serve * 1e3,
         "kernel_verify_ok": verify_ok,
     }))
 

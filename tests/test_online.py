@@ -202,6 +202,40 @@ class TestServing:
             assert np.all(np.asarray(info["ess"]) <= K + 1e-3)
 
 
+class TestDistributed:
+    def test_sharded_step_matches_single_device(self):
+        """Streaming with a shard_map distributed resampler + sharded
+        carry reproduces the single-device filter (indices bit-exact)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from aesmc_tpu import parallel
+
+        obs = _observations()
+        mesh = parallel.make_mesh(data=1, particle=8)
+        dist = parallel.make_distributed_resampler(mesh,
+                                                   method="systematic")
+        fs_ref, _ = _run_online(obs, KEY)
+
+        init_fn, step_fn = online.make_online_filter(
+            *_components(), K, resampling_implementation=dist,
+            mesh=mesh, data_axis="data", particle_axis="particle")
+        step_keys = online.split_step_keys(KEY, T)
+        fs = init_fn(obs[0], step_keys[0])
+        fs = jax.device_put(fs, jax.tree_util.tree_map(
+            lambda x: NamedSharding(
+                mesh, P(*(("data", "particle") + (None,) *
+                          (x.ndim - 2))[:x.ndim])), fs))
+        jstep = jax.jit(step_fn)
+        for t in range(1, T):
+            fs, _ = jstep(fs, obs[t], step_keys[t])
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs)),
+            np.asarray(online.log_marginal_likelihood(fs_ref)),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fs.log_weight),
+                                   np.asarray(fs_ref.log_weight),
+                                   rtol=1e-5, atol=1e-4)
+
+
 class TestGenealogy:
     def test_running_variance_matches_batch_estimator(self):
         """track_genealogy's final info['log_z_rel_var'] == the offline
@@ -244,6 +278,47 @@ class TestGenealogy:
             online.make_online_filter(*_components(), K,
                                       resampling_method="ot",
                                       track_genealogy=True)
+
+
+class TestExport:
+    def test_roundtrip_matches_live_step(self):
+        """Serialize -> deserialize -> call reproduces the live step (the
+        no-model-code deployment path)."""
+        obs = _observations()
+        init_fn, step_fn = online.make_online_filter(*_components(), K)
+        step_keys = online.split_step_keys(KEY, T)
+        fs = init_fn(obs[0], step_keys[0])
+
+        blob = online.export_step(step_fn, fs, obs[1], step_keys[1])
+        assert isinstance(blob, bytes) and len(blob) > 0
+        served = online.load_step(blob)
+
+        fs_live, info_live = step_fn(fs, obs[1], step_keys[1])
+        fs_exp, info_exp = served(fs, obs[1], step_keys[1])
+        np.testing.assert_allclose(np.asarray(fs_exp.log_weight),
+                                   np.asarray(fs_live.log_weight),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(info_exp["log_pred"]),
+                                   np.asarray(info_live["log_pred"]),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_exported_step_iterates(self):
+        """The deserialized step feeds its own output back (stateful
+        serving loop with zero model code)."""
+        obs = _observations()
+        init_fn, step_fn = online.make_online_filter(*_components(), K)
+        step_keys = online.split_step_keys(KEY, T)
+        fs = init_fn(obs[0], step_keys[0])
+        served = online.load_step(
+            online.export_step(step_fn, fs, obs[1], step_keys[1]))
+        for t in range(1, T):
+            fs, info = served(fs, obs[t], step_keys[t])
+        ref = inference.infer(
+            "smc", obs, *_components(), K, key=KEY,
+            return_log_marginal_likelihood=True, return_latents=False)
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs)),
+            np.asarray(ref["log_marginal_likelihood"]), rtol=1e-5)
 
 
 class TestValidation:
