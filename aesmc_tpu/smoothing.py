@@ -46,7 +46,7 @@ from .inference import (ObservationSequence, TimeIndex,
                         stack_observations, _first_leaf)
 from .tmc import _expand_prev, _expand_new, _pairwise_log_prob
 
-__all__ = ["backward_simulation", "paris"]
+__all__ = ["backward_simulation", "paris", "paris_score"]
 
 
 def backward_simulation(original_latents, log_weights, transition,
@@ -325,3 +325,101 @@ def paris(observations, initial, transition, emission, proposal,
     return {"smoothed": smoothed, "tau": tau_last,
             "log_weight": last_log_weight,
             "log_marginal_likelihood": log_ml}
+
+
+def paris_score(observations, build_components, params,
+                num_particles: int, key=None,
+                num_backward_draws: int = 2,
+                resampling_method: str = "systematic",
+                resampling_implementation="auto",
+                pairwise: str = "auto",
+                remat: bool = True):
+    """Online score (Fisher-identity gradient) estimation via PaRIS.
+
+    The score of the data log-likelihood of an SSM is the smoothed
+    expectation of an additive functional (Fisher/Louis identity):
+
+        grad_theta log p(y_{0:T-1})
+          = E[ grad log mu_theta(x_0) + grad log g_theta(y_0 | x_0)
+               + sum_{t>=1} grad log f_theta(x_t | x_{t-1})
+                          + grad log g_theta(y_t | x_t)  |  y_{0:T-1} ]
+
+    so `paris` computes it FORWARD-ONLY with O(1) memory in T - no
+    backpropagation through the scan, no stored activations. This is
+    the estimator behind recursive/online maximum likelihood: at P
+    parameters the per-particle gradient increments cost P forward-mode
+    passes (`jacfwd`; P is small for SSM parameters).
+
+    The proposal is built from the SAME params but its gradient does
+    not enter the score (the Fisher identity is for the model, not the
+    variational bound - unlike `losses.get_loss`, nothing here needs
+    the proposal to be reparameterized or even good, only supported).
+
+    Args:
+        observations: list or stacked `[T, batch, ...]` pytree.
+        build_components: `params -> (initial, transition, emission,
+            proposal)` - the model factory (components closing over
+            `params` leaves).
+        params: parameter pytree to differentiate with respect to.
+        num_particles, key, num_backward_draws, resampling_*, pairwise,
+            remat: as in `paris`.
+
+    Returns:
+        dict with 'score' (pytree like `params`, each leaf carrying a
+        leading `[batch]` axis - the per-sequence score), plus
+        `paris`'s 'log_marginal_likelihood' `[batch]`.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat_params, unravel = ravel_pytree(params)
+    p_dim = flat_params.shape[0]
+    comps = build_components(params)
+    initial, transition, emission, proposal = comps
+    stacked_obs = stack_observations(observations)
+    obs_arr_seq = ObservationSequence(stacked_obs)
+
+    def h(xp, xc, time):
+        t_idx = jnp.asarray(time)
+        obs_t = obs_arr_seq[t_idx]
+        prev_obs_list = [obs_arr_seq[t_idx - 1]]
+
+        def logdensities(flat):
+            p = unravel(flat)
+            _, trans_p, emis_p, _ = build_components(p)
+            k_count = _first_leaf(xc).shape[1]
+            return (state.log_prob(
+                        trans_p(previous_latents=[xp], time=time,
+                                previous_observations=prev_obs_list),
+                        xc) +
+                    state.log_prob(
+                        emis_p(latents=[xc], time=time,
+                               previous_observations=prev_obs_list),
+                        state.expand_observation(obs_t, k_count)))
+
+        jac = jax.jacfwd(logdensities)(flat_params)          # [B, K, P]
+        return jac
+
+    def h0(x0):
+        obs_0 = obs_arr_seq[0]
+
+        def logdensities(flat):
+            p = unravel(flat)
+            init_p, _, emis_p, _ = build_components(p)
+            k_count = _first_leaf(x0).shape[1]
+            return (state.log_prob(init_p(), x0) +
+                    state.log_prob(emis_p(latents=[x0], time=0),
+                                   state.expand_observation(obs_0,
+                                                            k_count)))
+
+        return jax.jacfwd(logdensities)(flat_params)         # [B, K, P]
+
+    out = paris(stacked_obs, initial, transition, emission, proposal,
+                num_particles, h=h, h0=h0, key=key,
+                num_backward_draws=num_backward_draws,
+                resampling_method=resampling_method,
+                resampling_implementation=resampling_implementation,
+                pairwise=pairwise, remat=remat)
+    smoothed = out["smoothed"]                               # [B, P]
+    score = jax.vmap(unravel)(smoothed)
+    return {"score": score,
+            "log_marginal_likelihood": out["log_marginal_likelihood"]}

@@ -100,6 +100,69 @@ class TestExactness:
             assert abs(lml[b] - exact) < 0.5, (b, lml[b], exact)
 
 
+class TestScore:
+    def test_score_matches_kalman_finite_differences(self):
+        """Fisher-identity score via PaRIS vs central differences of the
+        EXACT Kalman log-likelihood in (a, c)."""
+        obs = _observations()
+        params = {"a": jnp.asarray(A), "c": jnp.asarray(EM)}
+
+        def build(p):
+            initial = lgssm.Initial(0.0, 1.0)
+            transition = lgssm.Transition(mult=p["a"],
+                                          scale=float(np.sqrt(Q)))
+            emission = lgssm.Emission(mult=p["c"],
+                                      scale=float(np.sqrt(R0)))
+            proposal = _components()[3]
+            return initial, transition, emission, proposal
+
+        out = smoothing.paris_score(obs, build, params, K, key=KEY)
+        score = out["score"]
+        assert score["a"].shape == (B,) and score["c"].shape == (B,)
+
+        def exact_lml(a, c, obs_b):
+            p = kalman.KalmanParams(0.0, 1.0, a, 0.0, Q, c, 0.0, R0)
+            return kalman.kalman_filter(obs_b, p)[-1]
+
+        eps = 1e-4
+        for b in range(B):
+            ob = np.asarray(obs[:, b], np.float64)
+            da = (exact_lml(A + eps, EM, ob) -
+                  exact_lml(A - eps, EM, ob)) / (2 * eps)
+            dc = (exact_lml(A, EM + eps, ob) -
+                  exact_lml(A, EM - eps, ob)) / (2 * eps)
+            # MC tolerance at K=1024, T=20 with the optimal proposal.
+            assert abs(float(score["a"][b]) - da) < 0.25 * max(
+                1.0, abs(da)), (b, float(score["a"][b]), da)
+            assert abs(float(score["c"][b]) - dc) < 0.25 * max(
+                1.0, abs(dc)), (b, float(score["c"][b]), dc)
+
+    def test_score_near_zero_at_mle_direction(self):
+        """Sanity: at the data-generating parameters the average score
+        over many sequences is ~0 (the ML estimating equation)."""
+        from aesmc_tpu import statistics
+
+        params = {"a": jnp.asarray(A), "c": jnp.asarray(EM)}
+
+        def build(p):
+            initial = lgssm.Initial(0.0, 1.0)
+            transition = lgssm.Transition(mult=p["a"],
+                                          scale=float(np.sqrt(Q)))
+            emission = lgssm.Emission(mult=p["c"],
+                                      scale=float(np.sqrt(R0)))
+            return initial, transition, emission, _components()[3]
+
+        _, obs = statistics.sample_from_prior(
+            *build(params)[:3], 30, 16, key=jax.random.PRNGKey(21))
+        out = smoothing.paris_score(obs, build, params, 256, key=KEY)
+        mean_score_a = float(np.mean(np.asarray(out["score"]["a"])))
+        # Per-sequence score std is O(sqrt(T)); the 16-sequence mean
+        # should be near zero relative to that scale.
+        per_seq_std = float(np.std(np.asarray(out["score"]["a"])))
+        assert abs(mean_score_a) < per_seq_std, (mean_score_a,
+                                                 per_seq_std)
+
+
 class TestStructure:
     def test_vmap_matches_broadcast(self):
         """Identical logits => identical draws => identical outputs."""
