@@ -78,6 +78,9 @@ class OnlineFilterState(NamedTuple):
             or None - carried when `track_genealogy=True` (feeds the
             running Lee-Whiteley variance estimate; `aesmc_tpu.variance`).
         num_events: `[batch]` int32 resampling-event counts, or None.
+        lag_buffer: `[L, batch, num_particles, ...]` pytree of the last
+            L latents, continuously regathered through each step's
+            ancestors, or None - carried when `fixed_lag=L > 0`.
     """
 
     latent: Any
@@ -87,6 +90,7 @@ class OnlineFilterState(NamedTuple):
     t: jnp.ndarray
     eve: Any = None
     num_events: Any = None
+    lag_buffer: Any = None
 
 
 def log_marginal_likelihood(filter_state: OnlineFilterState) -> jnp.ndarray:
@@ -162,6 +166,7 @@ def make_online_filter(initial,
                        ot_rank=None,
                        return_ancestors: bool = False,
                        track_genealogy: bool = False,
+                       fixed_lag: int = 0,
                        mesh=None,
                        data_axis: str = "data",
                        particle_axis: str = "particle"):
@@ -193,6 +198,16 @@ def make_online_filter(initial,
             (`aesmc_tpu.variance.log_z_variance` semantics - a live
             filter-health metric for serving). Discrete and soft
             methods only (OT has no ancestors).
+        fixed_lag: L > 0 carries an L-deep latent buffer regathered
+            through each step's ancestors; after consuming y_t the step
+            emits `info['lagged_latent']` - the particle approximation
+            of the FIXED-LAG smoothing distribution p(x_{t-L} | y_{0:t})
+            under the current weights (the standard streaming smoother:
+            L-step-delayed estimates that condition on L future
+            observations, without PaRIS's O(K^2) transition-density
+            work). `info['lag_time'] = t - L` is the time the emission
+            refers to; entries with lag_time < 0 are padding (copies of
+            x_0). Discrete and soft methods only.
         mesh / data_axis / particle_axis: optional GSPMD sharding
             constraints on the carried latent and weights, as in `infer`.
 
@@ -231,8 +246,15 @@ def make_online_filter(initial,
             raise ValueError(
                 "resampling_method='ot' transports particles (no "
                 "discrete ancestors): genealogy tracking is unavailable")
+        if fixed_lag:
+            raise ValueError(
+                "resampling_method='ot' transports particles (no "
+                "discrete ancestors): fixed-lag smoothing is "
+                "unavailable")
+    if fixed_lag < 0:
+        raise ValueError(f"fixed_lag must be >= 0. currently = {fixed_lag}")
     adaptive = resampling_criterion != "always"
-    need_indices = return_ancestors or track_genealogy
+    need_indices = return_ancestors or track_genealogy or fixed_lag > 0
     if adaptive:
         ess_threshold = float(resampling_criterion) * num_particles
     log_num_particles = _stdmath.log(num_particles)
@@ -276,6 +298,9 @@ def make_online_filter(initial,
             num_events = jnp.zeros((batch_size,), jnp.int32)
         else:
             eve = num_events = None
+        lag_buffer = (jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (fixed_lag,) + x.shape),
+            latent_0) if fixed_lag > 0 else None)
         return OnlineFilterState(
             latent=latent_0,
             log_weight=log_weight_0,
@@ -283,7 +308,8 @@ def make_online_filter(initial,
             prev_observation=observation,
             t=jnp.asarray(1, jnp.int32),
             eve=eve,
-            num_events=num_events)
+            num_events=num_events,
+            lag_buffer=lag_buffer)
 
     def step_fn(filter_state, observation, key):
         """Consumes one observation y_t (t >= 1); one filter update."""
@@ -435,6 +461,27 @@ def make_online_filter(initial,
         else:
             eve = num_events = None
 
+        if fixed_lag > 0:
+            # Regather the whole buffer with this step's ancestors (the
+            # repeated regather composes ancestry, so buffer[0] is
+            # x_{t-L} traced through to the current particle set), emit
+            # the oldest entry, shift in x_t.
+            def regather(x):
+                idx = ancestral_index.reshape(
+                    (1,) + ancestral_index.shape +
+                    (1,) * (x.ndim - 3))
+                return jnp.take_along_axis(x, idx, axis=2)
+
+            gathered = jax.tree_util.tree_map(regather,
+                                              filter_state.lag_buffer)
+            lagged_latent = jax.tree_util.tree_map(lambda x: x[0],
+                                                   gathered)
+            lag_buffer = jax.tree_util.tree_map(
+                lambda g, n: jnp.concatenate([g[1:], n[None]], axis=0),
+                gathered, latent_t)
+        else:
+            lag_buffer = None
+
         new_state = OnlineFilterState(
             latent=latent_t,
             log_weight=log_weight_t,
@@ -442,12 +489,16 @@ def make_online_filter(initial,
             prev_observation=observation,
             t=filter_state.t + 1,
             eve=eve,
-            num_events=num_events)
+            num_events=num_events,
+            lag_buffer=lag_buffer)
         info = {
             "log_pred": log_marginal_likelihood(new_state) - log_pred_base,
             "ess": pre_ess,
             "resampled": did_resample,
         }
+        if fixed_lag > 0:
+            info["lagged_latent"] = lagged_latent
+            info["lag_time"] = filter_state.t - fixed_lag
         if track_genealogy:
             from . import variance as _variance
             s = _variance._family_weight_sums(log_weight_t, eve)

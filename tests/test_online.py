@@ -280,6 +280,78 @@ class TestGenealogy:
                                       track_genealogy=True)
 
 
+class TestFixedLag:
+    def test_lagged_beats_filtered_vs_rts(self):
+        """Fixed-lag smoothed means are closer to the exact RTS smoother
+        than the filtered means (conditioning on L future observations
+        must help), and padding entries are flagged by lag_time < 0."""
+        from aesmc_tpu import statistics
+        from aesmc_tpu.models import kalman
+
+        Tn, Bn, Kn, L = 30, 2, 512, 8
+        A, Q, EM, R = 0.9, 1.0, 1.0, 0.25
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(A, 1.0)
+        emission = lgssm.Emission.create(EM, 0.5)
+        # Optimal proposal: with a poor proposal the filter's own MC
+        # error swamps the filtered-vs-smoothed gap this test measures.
+        prec_t = 1.0 / Q + EM ** 2 / R
+        prec_0 = 1.0 + EM ** 2 / R
+        proposal = lgssm.Proposal(
+            lin_0_weight=jnp.asarray((EM / R) / prec_0),
+            lin_0_bias=jnp.asarray(0.0),
+            lin_t_weight=jnp.asarray([(A / Q) / prec_t,
+                                      (EM / R) / prec_t]),
+            lin_t_bias=jnp.asarray(0.0),
+            scale_0=float(np.sqrt(1.0 / prec_0)),
+            scale_t=float(np.sqrt(1.0 / prec_t)))
+        comps = (initial, transition, emission, proposal)
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, Tn, Bn,
+            key=jax.random.PRNGKey(13))
+
+        init_fn, step_fn = online.make_online_filter(*comps, Kn,
+                                                     fixed_lag=L)
+        step_keys = online.split_step_keys(jax.random.PRNGKey(5), Tn)
+        fs = init_fn(obs[0], step_keys[0])
+        jstep = jax.jit(step_fn)
+        filtered, lagged = {}, {}
+        for t in range(1, Tn):
+            w_filt = jax.nn.softmax(fs.log_weight, axis=-1)
+            filtered[t - 1] = np.asarray(
+                jnp.sum(w_filt * fs.latent, axis=-1))
+            fs, info = jstep(fs, obs[t], step_keys[t])
+            lt = int(info["lag_time"])
+            if lt >= 0:
+                w = jax.nn.softmax(fs.log_weight, axis=-1)
+                lagged[lt] = np.asarray(
+                    jnp.sum(w * info["lagged_latent"], axis=-1))
+        assert min(lagged) == 0 and max(lagged) == Tn - 1 - L
+
+        params = kalman.KalmanParams(0.0, 1.0, 0.9, 0.0, 1.0,
+                                     1.0, 0.0, 0.25)
+        filt_err, lag_err = [], []
+        for b in range(Bn):
+            sm, _ = kalman.kalman_smoother(
+                np.asarray(obs[:, b], np.float64), params)
+            for t, v in lagged.items():
+                lag_err.append(abs(v[b] - sm[t]))
+                filt_err.append(abs(filtered[t][b] - sm[t]))
+        # Measured ratio 0.23 at this config (lag 0.030 vs filt 0.130).
+        assert np.mean(lag_err) < 0.5 * np.mean(filt_err), (
+            np.mean(lag_err), np.mean(filt_err))
+
+    def test_ot_fixed_lag_rejected(self):
+        with pytest.raises(ValueError, match="fixed-lag"):
+            online.make_online_filter(*_components(), K,
+                                      resampling_method="ot",
+                                      fixed_lag=4)
+
+    def test_negative_lag_rejected(self):
+        with pytest.raises(ValueError, match="fixed_lag"):
+            online.make_online_filter(*_components(), K, fixed_lag=-1)
+
+
 class TestExport:
     def test_roundtrip_matches_live_step(self):
         """Serialize -> deserialize -> call reproduces the live step (the
