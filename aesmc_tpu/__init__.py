@@ -12,6 +12,7 @@ __version__ = "0.3.0"
 from . import checkpoint
 from . import csmc
 from . import distributions
+from . import gradients
 from . import inference
 from . import losses
 from . import math
@@ -34,8 +35,9 @@ from . import utils
 from . import variance
 
 __all__ = [
-    "checkpoint", "csmc", "distributions", "inference", "losses", "math",
-    "models", "ot", "parallel", "profiling", "proposals", "rbpf",
-    "resampling", "samplers", "smc2", "smoothing",
-    "state", "statistics", "tmc", "train", "utils", "__version__",
+    "checkpoint", "csmc", "distributions", "gradients", "inference",
+    "losses", "math", "models", "online", "ot", "parallel", "profiling",
+    "proposals", "rbpf", "resampling", "samplers", "smc2", "smoothing",
+    "state", "statistics", "tmc", "train", "utils", "variance",
+    "__version__",
 ]

@@ -38,6 +38,7 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
              scan_unroll: int = 1,
              mesh=None, data_axis: str = "data",
              particle_axis: str = "particle",
+             gradient_estimator: str = "pathwise",
              **infer_kwargs):
     """Scalar loss -mean(ELBO) for gradient descent.
 
@@ -54,6 +55,14 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
         resampling_method/resampling_implementation/mesh/data_axis/
             particle_axis: forwarded to `infer` (resampling args: aesmc
             only; mesh enables multi-chip sharding constraints).
+        gradient_estimator: 'pathwise' (default - reference semantics:
+            gradients stop at ancestor indices,
+            /root/reference/aesmc/inference.py:254; biased for the SMC
+            objective) or 'score' ('aesmc' +
+            resampling_method='multinomial' only): adds the REINFORCE
+            resampling term making grad E[log Z-hat] unbiased - see
+            `aesmc_tpu.gradients`. The loss VALUE is identical either
+            way; only gradients differ.
 
     Returns:
         scalar jnp array; differentiate with `jax.grad` /
@@ -90,6 +99,29 @@ def get_loss(observations, num_particles: int, algorithm: str, initial,
     else:
         raise ValueError(
             f"algorithm must be one of {ALGORITHMS}. currently = {algorithm}")
+
+    if gradient_estimator not in ("pathwise", "score"):
+        raise ValueError(
+            "gradient_estimator must be 'pathwise' or 'score'. "
+            f"currently = {gradient_estimator}")
+    if gradient_estimator == "score":
+        if algorithm != "aesmc":
+            raise ValueError(
+                "gradient_estimator='score' corrects the RESAMPLING "
+                "gradient; it only applies to algorithm='aesmc' "
+                f"(currently = {algorithm}). IWAE's pathwise gradient "
+                "is already unbiased.")
+        from . import gradients as _gradients
+        return _gradients.score_gradient_loss(
+            observations, num_particles, initial, transition, emission,
+            proposal, key=key,
+            resampling_method=resampling_method,
+            resampling_implementation=resampling_implementation,
+            resampling_criterion=resampling_criterion,
+            history_window=history_window,
+            nan_check=nan_check, remat=remat, scan_unroll=scan_unroll,
+            mesh=mesh, data_axis=data_axis, particle_axis=particle_axis,
+            **infer_kwargs)
 
     inference_result = inference.infer(
         inference_algorithm=inference_algorithm,

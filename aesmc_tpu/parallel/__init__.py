@@ -20,8 +20,10 @@ from .dist_resampling import (
     distributed_soft_resample,
 )
 from .sharded import make_sharded_train_step, shard_batch
+from .islands import island_infer
 
 __all__ = [
+    "island_infer",
     "make_mesh", "data_particle_specs",
     "make_distributed_resampler",
     "make_distributed_ot_resampler",
