@@ -172,6 +172,8 @@ def checked_loss(observations, num_particles: int, algorithm: str,
 
 def get_loss_and_metrics(observations, num_particles: int, algorithm: str,
                          initial, transition, emission, proposal, key=None,
+                         gradient_estimator: str = "pathwise",
+                         score_baseline: str = "batch",
                          **infer_kwargs):
     """Like `get_loss`, but also returns a metrics dict:
 
@@ -181,6 +183,11 @@ def get_loss_and_metrics(observations, num_particles: int, algorithm: str,
       /root/reference/aesmc/statistics.py:79-104; here it's wired into
       the training loop's observability). For 'tmc' there are no
       particle weights (no resampling); ess is reported as NaN.
+
+    `gradient_estimator='score'` (aesmc + multinomial only) swaps in the
+    unbiased score-function surrogate (`aesmc_tpu.gradients`) for the
+    loss; metrics are unchanged (the surrogate's value equals the plain
+    loss).
     """
     if algorithm == "tmc":
         from . import tmc as _tmc
@@ -199,15 +206,43 @@ def get_loss_and_metrics(observations, num_particles: int, algorithm: str,
         raise ValueError(
             f"algorithm must be one of {ALGORITHMS}. currently = {algorithm}")
 
+    if gradient_estimator not in ("pathwise", "score"):
+        raise ValueError(
+            "gradient_estimator must be 'pathwise' or 'score'. "
+            f"currently = {gradient_estimator}")
+    use_score = gradient_estimator == "score"
+    if use_score:
+        if algorithm != "aesmc":
+            raise ValueError(
+                "gradient_estimator='score' only applies to "
+                f"algorithm='aesmc' (currently = {algorithm})")
+        if infer_kwargs.get("resampling_method",
+                            "systematic") != "multinomial":
+            raise ValueError(
+                "gradient_estimator='score' requires "
+                "resampling_method='multinomial' (see "
+                "aesmc_tpu.gradients)")
+        if infer_kwargs.get("resampling_criterion", "always") != "always":
+            raise ValueError(
+                "gradient_estimator='score' requires "
+                "resampling_criterion='always'")
+
     result = inference.infer(
         inference_algorithm=inference_algorithm,
         observations=observations, initial=initial, transition=transition,
         emission=emission, proposal=proposal, num_particles=num_particles,
         key=key, return_log_marginal_likelihood=True, return_latents=False,
-        return_log_weight=True, **infer_kwargs)
+        return_log_weight=True,
+        return_log_weights=use_score,
+        return_ancestral_indices=use_score,
+        **infer_kwargs)
     elbo = jnp.mean(result["log_marginal_likelihood"])
     log_weight = result["log_weight"]
     log_ess = 2 * jax.nn.logsumexp(log_weight, axis=1) - \
         jax.nn.logsumexp(2 * log_weight, axis=1)
     metrics = {"elbo": elbo, "ess": jnp.mean(jnp.exp(log_ess))}
+    if use_score:
+        from . import gradients as _gradients
+        return _gradients.score_surrogate_from_result(
+            result, baseline=score_baseline), metrics
     return -elbo, metrics

@@ -21,6 +21,11 @@ VPU; the K-particle Metropolis rejuvenation sweeps are fully
 vectorized (no per-particle loop) and the user's log-densities are
 `jax.vmap`-ed over the cloud, so likelihood evaluations batch onto
 the MXU for neural targets.
+
+`waste_free_chains=M` switches each rung to WASTE-FREE SMC
+(Dau & Chopin, JRSS-B 2022): resample M chain roots, run each for
+K/M - 1 Metropolis steps, and keep EVERY chain state as a particle -
+no MCMC evaluation is discarded, same unbiased evidence estimator.
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ def smc_sampler(log_prior, log_likelihood, initial_particles, key=None,
                 ess_target: float = 0.5, max_steps: int = 64,
                 betas=None, resampling_method: str = "systematic",
                 resampling_implementation="auto",
+                waste_free_chains=None,
                 return_history: bool = False):
     """Adaptive annealed SMC from `p0` to `p0 * exp(log_likelihood)`.
 
@@ -78,7 +84,21 @@ def smc_sampler(log_prior, log_likelihood, initial_particles, key=None,
         resampling_method: 'systematic' | 'stratified' | 'multinomial'.
         resampling_implementation: 'auto' | 'xla' | 'pallas' — 'auto'
             routes the ancestor search through the fused Pallas kernel
-            at kernel-worthy K on a real TPU.
+            at kernel-worthy K on a real TPU. (Resample-move mode only;
+            waste-free root draws are M-sized and stay in XLA.)
+        waste_free_chains: M, or None (default: classic resample-move).
+            WASTE-FREE SMC (Dau & Chopin, JRSS-B 2022): each rung
+            resamples only M << K chain ROOTS (M must divide K), runs
+            each root through P - 1 = K/M - 1 Metropolis steps, and the
+            next cloud is ALL M * P chain states — every MCMC
+            evaluation becomes a particle instead of being discarded,
+            and the evidence estimator stays unbiased (their Thm 1;
+            proven for multinomial root draws — pass
+            resampling_method='multinomial' when unbiasedness matters,
+            the grid methods are the usual lower-variance practical
+            choice). `num_moves` becomes the THINNING factor: each of
+            the P - 1 collected states is separated by `num_moves`
+            RWM sweeps (must be >= 1).
         return_history: also return the per-rung beta/ESS/acceptance
             paths (padded to `max_steps` in adaptive mode).
 
@@ -105,6 +125,22 @@ def smc_sampler(log_prior, log_likelihood, initial_particles, key=None,
     particles = jax.tree_util.tree_map(jnp.asarray, initial_particles)
     num_particles = int(_first_leaf(particles).shape[0])
     log_k = _stdmath.log(num_particles)
+    if waste_free_chains is not None:
+        m = int(waste_free_chains)
+        if not 1 <= m < num_particles:
+            raise ValueError(
+                "waste_free_chains must satisfy 1 <= M < K. "
+                f"currently = {m} (K = {num_particles})")
+        if num_particles % m != 0:
+            raise ValueError(
+                "waste_free_chains must divide the particle count: "
+                f"K = {num_particles}, M = {m}")
+        if num_moves < 1:
+            raise ValueError(
+                "waste-free mode needs num_moves >= 1 (the thinning "
+                f"between collected chain states). currently = "
+                f"{num_moves}")
+        chain_len = num_particles // m
     v_log_prior = jax.vmap(log_prior)
     v_log_lik = jax.vmap(log_likelihood)
     if isinstance(step_size, (int, float)):
@@ -134,12 +170,9 @@ def smc_sampler(log_prior, log_likelihood, initial_particles, key=None,
         return jnp.where(ess_at(jnp.asarray(1.0, beta.dtype)) >= target,
                          jnp.asarray(1.0, beta.dtype), lo)
 
-    def move(particles, beta, k):
-        """num_moves vectorized RWM sweeps targeting
-        p0 * exp(beta * L)."""
-        def target_logp(p):
-            return v_log_prior(p) + beta * v_log_lik(p)
-
+    def make_sweep(target_logp):
+        """One vectorized RWM Metropolis sweep over a cloud of any
+        leading size (K in resample-move, M chains in waste-free)."""
         def one_sweep(carry, kk):
             particles, logp, accepted = carry
             leaves, treedef = jax.tree_util.tree_flatten(particles)
@@ -150,7 +183,7 @@ def smc_sampler(log_prior, log_likelihood, initial_particles, key=None,
                 for x, s, nk in zip(leaves, steps, keys[1:])]
             prop = jax.tree_util.tree_unflatten(treedef, prop_leaves)
             prop_logp = target_logp(prop)
-            u = jax.random.uniform(keys[0], (num_particles,))
+            u = jax.random.uniform(keys[0], logp.shape)
             acc = jnp.log(u) < prop_logp - logp
             particles = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(
@@ -160,23 +193,78 @@ def smc_sampler(log_prior, log_likelihood, initial_particles, key=None,
             accepted = accepted + jnp.mean(acc.astype(jnp.float32))
             return (particles, logp, accepted), None
 
+        return one_sweep
+
+    def move(particles, beta, k):
+        """num_moves vectorized RWM sweeps targeting
+        p0 * exp(beta * L)."""
+        def target_logp(p):
+            return v_log_prior(p) + beta * v_log_lik(p)
+
+        one_sweep = make_sweep(target_logp)
         logp0 = target_logp(particles)
         (particles, _, accepted), _ = jax.lax.scan(
             one_sweep, (particles, logp0, jnp.zeros((), jnp.float32)),
             jax.random.split(k, num_moves), length=num_moves)
         return particles, accepted / max(num_moves, 1)
 
+    def waste_free_positions(log_w, k_res):
+        """M inverse-CDF query positions over the K-weight CDF."""
+        if resampling_method == "systematic":
+            u = jax.random.uniform(k_res, (), log_w.dtype)
+            return (u + jnp.arange(m, dtype=log_w.dtype)) / m
+        if resampling_method == "stratified":
+            u = jax.random.uniform(k_res, (m,), log_w.dtype)
+            return (u + jnp.arange(m, dtype=log_w.dtype)) / m
+        return jax.random.uniform(k_res, (m,), log_w.dtype)
+
+    def waste_free_move(roots, beta, k):
+        """Chains of length P from M roots, all states collected
+        (Dau & Chopin 2022): num_moves RWM sweeps between consecutive
+        collected states, roots included in the output cloud."""
+        def target_logp(p):
+            return v_log_prior(p) + beta * v_log_lik(p)
+
+        one_sweep = make_sweep(target_logp)
+
+        def one_state(carry, kk):
+            carry, _ = jax.lax.scan(one_sweep, carry,
+                                    jax.random.split(kk, num_moves),
+                                    length=num_moves)
+            return carry, carry[0]
+
+        logp0 = target_logp(roots)
+        (_, _, accepted), states = jax.lax.scan(
+            one_state, (roots, logp0, jnp.zeros((), jnp.float32)),
+            jax.random.split(k, chain_len - 1), length=chain_len - 1)
+        cloud = jax.tree_util.tree_map(
+            lambda r, s: jnp.concatenate([r[None], s], axis=0).reshape(
+                (num_particles,) + r.shape[1:]),
+            roots, states)
+        return cloud, accepted / ((chain_len - 1) * num_moves)
+
     def rung(particles, beta, new_beta, log_z, k, loglik):
         k_res, k_move = jax.random.split(k)
         log_w = (new_beta - beta) * loglik
         log_z = log_z + jax.nn.logsumexp(log_w) - log_k
         ess = _ess_from_logw(log_w)
-        idx = resampling.sample_ancestral_index(
-            log_w[None], k_res, method=resampling_method,
-            implementation=resampling_implementation)[0]
-        particles = jax.tree_util.tree_map(
-            lambda x: jnp.take(x, idx, axis=0), particles)
-        particles, acc = move(particles, new_beta, k_move)
+        if waste_free_chains is None:
+            idx = resampling.sample_ancestral_index(
+                log_w[None], k_res, method=resampling_method,
+                implementation=resampling_implementation)[0]
+            particles = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, idx, axis=0), particles)
+            particles, acc = move(particles, new_beta, k_move)
+        else:
+            pos = waste_free_positions(log_w, k_res)
+            cum = resampling._normalized_cumsum(log_w[None])[0]
+            idx = jnp.clip(
+                jnp.searchsorted(cum, pos.astype(cum.dtype),
+                                 side="right"),
+                0, num_particles - 1)
+            roots = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, idx, axis=0), particles)
+            particles, acc = waste_free_move(roots, new_beta, k_move)
         return particles, log_z, ess, acc
 
     if betas is not None:

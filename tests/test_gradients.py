@@ -216,6 +216,44 @@ def test_get_loss_routing_and_validation():
             baseline="bogus")
 
 
+def test_loss_and_metrics_score_path():
+    """get_loss_and_metrics(gradient_estimator='score'): loss value and
+    metrics match the pathwise call; gradient matches the direct score
+    surrogate."""
+    initial, (transition, emission, proposal) = _make_components()
+    obs = jnp.asarray(
+        np.random.default_rng(3).normal(size=(5, 4)), jnp.float32)
+    key = jax.random.PRNGKey(4)
+    theta = (transition, emission, proposal)
+
+    loss_s, metrics_s = losses.get_loss_and_metrics(
+        obs, 8, "aesmc", initial, *theta, key=key,
+        resampling_method="multinomial", gradient_estimator="score")
+    loss_p, metrics_p = losses.get_loss_and_metrics(
+        obs, 8, "aesmc", initial, *theta, key=key,
+        resampling_method="multinomial")
+    np.testing.assert_allclose(np.asarray(loss_s), np.asarray(loss_p),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(metrics_s["ess"]),
+                               np.asarray(metrics_p["ess"]), rtol=1e-6)
+
+    g_metrics = jax.grad(lambda th: losses.get_loss_and_metrics(
+        obs, 8, "aesmc", initial, *th, key=key,
+        resampling_method="multinomial",
+        gradient_estimator="score")[0])(theta)
+    g_direct = jax.grad(lambda th: gradients.score_gradient_loss(
+        obs, 8, initial, *th, key=key))(theta)
+    for a, b in zip(jax.tree_util.tree_leaves(g_metrics),
+                    jax.tree_util.tree_leaves(g_direct)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    with pytest.raises(ValueError, match="multinomial"):
+        losses.get_loss_and_metrics(
+            obs, 8, "aesmc", initial, *theta, key=key,
+            gradient_estimator="score")
+
+
 def test_score_gradient_trains():
     """A few Adam steps with the unbiased estimator reduce the loss on
     the small LGSSM config (smoke: jit + grad + optimizer compose)."""

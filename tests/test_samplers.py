@@ -191,3 +191,74 @@ class TestDistributed:
             np.asarray(out["particles"]).mean(0),
             np.asarray(ref["particles"]).mean(0), atol=1e-3)
         assert abs(float(out["log_normalizer"]) - exact_lz) < 0.2
+
+
+class TestWasteFree:
+    """Waste-free SMC (Dau & Chopin 2022): all chain states kept."""
+
+    @pytest.mark.parametrize("method", ["multinomial", "systematic"])
+    def test_evidence_and_posterior_moments(self, method):
+        D = 4
+        log_prior, log_lik, y, exact_lz, pm, pv = _gaussian_problem(D)
+        K, M = 2048, 64
+        x0 = 2.0 * jax.random.normal(jax.random.PRNGKey(1), (K, D))
+        lzs, means = [], []
+        for seed in range(3):
+            out = samplers.smc_sampler(
+                log_prior, log_lik, x0, key=jax.random.PRNGKey(seed),
+                num_moves=1, step_size=0.4, waste_free_chains=M,
+                resampling_method=method, return_history=True)
+            assert bool(out["reached_final"])
+            assert np.asarray(out["particles"]).shape == (K, D)
+            lzs.append(float(out["log_normalizer"]))
+            means.append(np.asarray(out["particles"]).mean(0))
+        assert abs(np.mean(lzs) - exact_lz) < 0.15, (np.mean(lzs),
+                                                     exact_lz)
+        np.testing.assert_allclose(np.mean(means, axis=0), pm,
+                                   atol=4 * np.sqrt(pv / 2048) + 0.05)
+
+    def test_chain_structure_and_acceptance(self):
+        log_prior, log_lik, *_ = _gaussian_problem(D=2)
+        K, M = 64, 8
+        x0 = 2.0 * jax.random.normal(KEY, (K, 2))
+        out = samplers.smc_sampler(
+            log_prior, log_lik, x0, key=KEY, num_moves=2,
+            step_size=0.5, waste_free_chains=M)
+        assert np.asarray(out["particles"]).shape == (K, 2)
+        acc = float(out["acceptance_rate"])
+        assert 0.0 < acc <= 1.0, acc
+
+    def test_fixed_ladder_waste_free(self):
+        log_prior, log_lik, y, exact_lz, *_ = _gaussian_problem()
+        K = 2048
+        x0 = 2.0 * jax.random.normal(jax.random.PRNGKey(1), (K, 4))
+        betas = jnp.linspace(0.05, 1.0, 20)
+        out = samplers.smc_sampler(
+            log_prior, log_lik, x0, key=KEY, num_moves=1,
+            step_size=0.4, betas=betas, waste_free_chains=128)
+        assert abs(float(out["log_normalizer"]) - exact_lz) < 0.2
+
+    def test_more_chains_fewer_steps_tradeoff_runs(self):
+        """Same budget, different M: both valid clouds (smoke for the
+        M knob across its range)."""
+        log_prior, log_lik, y, exact_lz, *_ = _gaussian_problem(D=2)
+        K = 512
+        x0 = 2.0 * jax.random.normal(KEY, (K, 2))
+        for M in (2, 256):
+            out = samplers.smc_sampler(
+                log_prior, log_lik, x0, key=KEY, num_moves=1,
+                step_size=0.4, waste_free_chains=M)
+            assert np.isfinite(float(out["log_normalizer"]))
+
+    def test_validation(self):
+        log_prior, log_lik, *_ = _gaussian_problem(D=2)
+        x0 = jnp.zeros((32, 2))
+        with pytest.raises(ValueError, match="divide"):
+            samplers.smc_sampler(log_prior, log_lik, x0,
+                                 waste_free_chains=7)
+        with pytest.raises(ValueError, match="1 <= M < K"):
+            samplers.smc_sampler(log_prior, log_lik, x0,
+                                 waste_free_chains=32)
+        with pytest.raises(ValueError, match="num_moves"):
+            samplers.smc_sampler(log_prior, log_lik, x0,
+                                 waste_free_chains=8, num_moves=0)
