@@ -11,8 +11,9 @@ from . import kalman
 from . import kalman_nd
 from . import lgssm
 from . import lgssm_nd
+from . import lorenz
 from . import stochastic_volatility
 from . import vrnn
 
 __all__ = ["bouncing_ball", "gaussian", "kalman", "kalman_nd", "lgssm", "lgssm_nd",
-           "stochastic_volatility", "vrnn"]
+           "lorenz", "stochastic_volatility", "vrnn"]
