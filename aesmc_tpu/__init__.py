@@ -12,6 +12,7 @@ __version__ = "0.3.0"
 from . import checkpoint
 from . import csmc
 from . import distributions
+from . import enkf
 from . import gradients
 from . import inference
 from . import losses
@@ -35,7 +36,8 @@ from . import utils
 from . import variance
 
 __all__ = [
-    "checkpoint", "csmc", "distributions", "gradients", "inference",
+    "checkpoint", "csmc", "distributions", "enkf", "gradients",
+    "inference",
     "losses", "math", "models", "online", "ot", "parallel", "profiling",
     "proposals", "rbpf", "resampling", "samplers", "smc2", "smoothing",
     "state", "statistics", "tmc", "train", "utils", "variance",

@@ -137,19 +137,68 @@ class BootstrapProposal:
 
 def assimilation_proposal(initial: Initial, transition: Transition,
                           emission: Emission,
-                          linearization: str = "unscented",
+                          linearization: str = "diagonal",
                           unscented_kappa: float = 1.0):
-    """The auto-built locally-optimal proposal for this model: one
-    Kalman measurement update of N(rk4(x_{t-1}), q^2 I) against the
-    (here linear) observation operator, per particle
-    (`aesmc_tpu.proposals.ekf_proposal`). For Lorenz-96 the emission is
-    exactly linear, so 'extended' and 'unscented' agree to sigma-point
-    rounding and the conditioning step is the EXACT optimal proposal
-    given the propagated prior moments."""
+    """The locally-optimal proposal for this model: one Kalman
+    measurement update of N(rk4(x_{t-1}), q^2 I) against the linear
+    observation operator, per particle.
+
+    `linearization='diagonal'` (default) uses the CLOSED FORM: with
+    diagonal process noise and a component-selection observation, the
+    posterior is diagonal - observed components get the precision-
+    weighted scalar update (m/q^2 + y/r^2) / (1/q^2 + 1/r^2), the rest
+    keep the prior. Pure elementwise arithmetic: measured 4.7 ms vs the
+    generic path's 1018 ms at [8, 1024] on v5e (benchmarks/
+    bench_extended.py) - TPU-batched tiny [D, D] Cholesky factors in
+    `proposals.ekf_proposal` lower to serialized scalar code, so the
+    general machinery is 200x off for a model this structured.
+
+    'extended' / 'unscented' route through the generic
+    `aesmc_tpu.proposals.ekf_proposal`; on this model all three agree
+    to sigma-point rounding (the emission is exactly linear and the
+    propagated prior diagonal) - asserted in tests/test_lorenz.py."""
     d = transition.dim
     obs = (np.arange(d) if emission.obs_indices is None
            else np.asarray(emission.obs_indices))
     initial_dist = initial()
+
+    if linearization == "diagonal":
+        obs_mask = np.zeros((d,), np.float32)
+        obs_mask[obs] = 1.0
+        obs_mask = jnp.asarray(obs_mask)                  # [D]
+        r2 = float(emission.scale) ** 2
+
+        def scatter_obs(y):
+            """Expands y [.., Do] to [.., D] with zeros elsewhere."""
+            out = jnp.zeros(y.shape[:-1] + (d,), y.dtype)
+            return out.at[..., jnp.asarray(obs)].set(y)
+
+        def condition_diag(m, q2, y_full):
+            """Per-component conjugate update where observed."""
+            post_var = 1.0 / (1.0 / q2 + obs_mask / r2)
+            post_mean = post_var * (m / q2 + obs_mask * y_full / r2)
+            return post_mean, jnp.sqrt(post_var)
+
+        def proposal(previous_latents=None, time=None,
+                     observations=None):
+            if previous_latents is None:
+                y0 = scatter_obs(jnp.asarray(observations[0]))  # [B, D]
+                m0 = jnp.asarray(initial_dist.loc)
+                q2 = jnp.asarray(initial_dist.scale_diag) ** 2
+                loc, scale = condition_diag(m0, q2, y0)
+                return dists.MultivariateNormalDiag(
+                    loc, jnp.broadcast_to(scale, loc.shape),
+                    batch_shape_mode=BatchShapeMode.BATCH_EXPANDED)
+            x_prev = previous_latents[-1]                 # [B, K, D]
+            y = scatter_obs(jnp.asarray(observations[time]))  # [B, D]
+            m = transition.mean(x_prev)
+            loc, scale = condition_diag(
+                m, jnp.float32(transition.scale) ** 2, y[:, None, :])
+            return dists.MultivariateNormalDiag(
+                loc, jnp.broadcast_to(scale, loc.shape),
+                batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
+
+        return proposal
 
     def emission_mean(x):
         return x[obs]

@@ -105,6 +105,24 @@ def main():
     print(f"VRNN T={T} B={B} K={K} aesmc loss: {dt*1e3:.2f} ms = "
           f"{B*K*T/dt/1e6:.1f} M particle-steps/s", flush=True)
 
+    # Lorenz-96 chaotic data assimilation (round-3 model family):
+    # bootstrap vs the auto-built UKF assimilation proposal.
+    from aesmc_tpu.models import lorenz
+    T, B, K = 50, 8, 1024
+    lz_boot = lorenz.make_model(dim=8, emission_scale=0.5,
+                                proposal="bootstrap")
+    _, obs = statistics.sample_from_prior(lz_boot[0], lz_boot[1],
+                                          lz_boot[2], T, B, key)
+    bench_infer(f"Lorenz-96 D=8 T={T} B={B} K={K} bootstrap",
+                lz_boot, obs, K, T, B)
+    # Closed-form diagonal update (default). The generic per-particle
+    # UKF path (linearization='unscented') measured 1017.7 ms here -
+    # TPU-batched tiny [8, 8] Cholesky lowers to serialized scalar
+    # code; see BENCH_NOTES "Lorenz-96 rows".
+    lz_assim = lorenz.make_model(dim=8, emission_scale=0.5)
+    bench_infer(f"Lorenz-96 D=8 T={T} B={B} K={K} assimilation (diag)",
+                lz_assim, obs, K, T, B)
+
     # Particle Gibbs (PGAS) sweep rate - the posterior-sampling module.
     from aesmc_tpu import csmc, statistics as astats
     from aesmc_tpu.models import lgssm as _lgssm

@@ -129,14 +129,15 @@ class TestFilter:
             jax.tree_util.tree_leaves(out["last_latent"])[0]).shape == \
             (2, 256, 8)
 
-    def test_extended_matches_unscented_on_linear_emission(self):
-        """The emission operator is linear, so EKF and UKF proposals
-        agree (sigma-point arithmetic vs exact Jacobian)."""
+    def test_proposal_variants_agree_on_linear_emission(self):
+        """The emission operator is linear and the propagated prior
+        diagonal, so the closed-form diagonal update, the EKF
+        (jacfwd) and the UKF (sigma points) proposals all coincide."""
         initial, transition, emission, _ = lorenz.make_model(dim=6)
         _, obs = self._data(8, 1, (initial, transition, emission, None),
                             seed=4)
         out = {}
-        for lin in ("extended", "unscented"):
+        for lin in ("diagonal", "extended", "unscented"):
             prop = lorenz.assimilation_proposal(initial, transition,
                                                 emission,
                                                 linearization=lin)
@@ -145,7 +146,29 @@ class TestFilter:
                 key=KEY, return_log_marginal_likelihood=True,
                 return_latents=False)
             out[lin] = np.asarray(res["log_marginal_likelihood"])
+        np.testing.assert_allclose(out["diagonal"], out["extended"],
+                                   rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(out["extended"], out["unscented"],
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_diagonal_proposal_partial_observation(self):
+        """Closed-form proposal under partial observation: shapes and
+        agreement with the generic path."""
+        initial, transition, emission, _ = lorenz.make_model(
+            dim=6, obs_indices=(0, 3))
+        _, obs = self._data(6, 2, (initial, transition, emission, None),
+                            seed=5)
+        out = {}
+        for lin in ("diagonal", "extended"):
+            prop = lorenz.assimilation_proposal(initial, transition,
+                                                emission,
+                                                linearization=lin)
+            res = inference.infer(
+                "smc", obs, initial, transition, emission, prop, 32,
+                key=KEY, return_log_marginal_likelihood=True,
+                return_latents=False)
+            out[lin] = np.asarray(res["log_marginal_likelihood"])
+        np.testing.assert_allclose(out["diagonal"], out["extended"],
                                    rtol=2e-4, atol=2e-4)
 
     def test_validation(self):
