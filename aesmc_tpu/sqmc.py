@@ -1,0 +1,609 @@
+"""Sequential quasi-Monte Carlo (SQMC, Gerber & Chopin 2015).
+
+SQMC replaces the i.i.d. uniforms driving a particle filter with
+randomized quasi-Monte Carlo (RQMC) point sets, turning the O(K^-1/2)
+Monte Carlo error into o(K^-1/2) (empirically close to O(K^-1) on
+smooth models). Beyond-parity capability: the reference
+(/root/reference/aesmc/inference.py) has no QMC path at all.
+
+Three building blocks, each usable on its own and all jittable:
+
+- `sobol_points(n, dim, key)`: scrambled Sobol points generated inside
+  jit from Joe & Kuo direction numbers (embedded constants for
+  dim <= 64, verified bit-exact against scipy.stats.qmc.Sobol).
+  Scrambling is a left linear matrix scramble (Matousek) composed with
+  a digital shift - the same randomization scipy applies - so each
+  PRNG key yields an unbiased RQMC replicate. TPU notes: generation is
+  pure uint32 bit-math on the VPU (gray-code XOR over <= log2(n)
+  direction numbers); no host transfers.
+- `hilbert_sort_indices(x, bits)`: per-batch-row particle order along
+  the Hilbert space-filling curve (Skilling 2004 transpose algorithm,
+  vectorized over particles with static bit loops). The curve's
+  locality is what makes the inverse-CDF resampling step a
+  low-discrepancy transformation in d > 1.
+- `sqmc_infer(...)`: the SQMC particle filter. Same component
+  contract, return vocabulary, and estimator as
+  `aesmc_tpu.inference.infer(algorithm='smc')`, but every step
+  consumes one RQMC point set: at t=0 a [K, d] set drives the
+  proposal's quantile transform; at t >= 1 a [K, 1+d] set drives
+  Hilbert-ordered inverse-CDF resampling (first coordinate) and the
+  proposal transform (remaining coordinates).
+
+Proposals must be *quantile-transformable*: built from the library's
+location-scale Gaussian family (`Normal`, `MultivariateNormalDiag`,
+`MultivariateNormalTriL`, `Independent(Normal, 1)`, `Deterministic`)
+or any object exposing `sample_from_uniforms(u)`. Weight computation
+is unchanged, so transition/emission components need nothing new.
+
+Keys are per (timestep, batch-row): each batch row is an independent
+RQMC replicate, so batched runs give K-particle SQMC accuracy per row
+AND sqrt(B) cross-row averaging.
+"""
+
+from __future__ import annotations
+
+import math as _stdmath
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import distributions as dists
+from . import inference as _inference
+from . import math as _math
+from . import state
+from .state import BatchShapeMode
+
+__all__ = [
+    "sobol_points",
+    "hilbert_index",
+    "hilbert_sort_indices",
+    "quantile_sample",
+    "sqmc_infer",
+]
+
+_BITS = 32
+_MAX_EMBEDDED_DIM = 64
+
+# Primitive polynomials (encoded as integers, MSB = leading term) and
+# initial direction numbers m_1..m_s for the first 64 Sobol dimensions.
+# These are the classic Joe & Kuo (2008) constants (public tables, also
+# shipped by scipy); the recurrence below reproduces scipy's
+# direction-number matrix bit-for-bit (tests/test_sqmc.py golden test).
+_POLY = [
+    1, 3, 7, 11, 13, 19, 25, 37, 41, 47, 55, 59, 61, 67, 91, 97, 103,
+    109, 115, 131, 137, 143, 145, 157, 167, 171, 185, 191, 193, 203,
+    211, 213, 229, 239, 241, 247, 253, 285, 299, 301, 333, 351, 355,
+    357, 361, 369, 391, 397, 425, 451, 463, 487, 501, 529, 539, 545,
+    557, 563, 601, 607, 617, 623, 631, 637,
+]
+_VINIT = [
+    [], [1], [1, 3], [1, 3, 1], [1, 1, 1], [1, 1, 3, 3], [1, 3, 5, 13],
+    [1, 1, 5, 5, 17], [1, 1, 5, 5, 5], [1, 1, 7, 11, 19],
+    [1, 1, 5, 1, 1], [1, 1, 1, 3, 11], [1, 3, 5, 5, 31],
+    [1, 3, 3, 9, 7, 49], [1, 1, 1, 15, 21, 21], [1, 3, 1, 13, 27, 49],
+    [1, 1, 1, 15, 7, 5], [1, 3, 1, 15, 13, 25], [1, 1, 5, 5, 19, 61],
+    [1, 3, 7, 11, 23, 15, 103], [1, 3, 7, 13, 13, 15, 69],
+    [1, 1, 3, 13, 7, 35, 63], [1, 3, 5, 9, 1, 25, 53],
+    [1, 3, 1, 13, 9, 35, 107], [1, 3, 1, 5, 27, 61, 31],
+    [1, 1, 5, 11, 19, 41, 61], [1, 3, 5, 3, 3, 13, 69],
+    [1, 1, 7, 13, 1, 19, 1], [1, 3, 7, 5, 13, 19, 59],
+    [1, 1, 3, 9, 25, 29, 41], [1, 3, 5, 13, 23, 1, 55],
+    [1, 3, 7, 3, 13, 59, 17], [1, 3, 1, 3, 5, 53, 69],
+    [1, 1, 5, 5, 23, 33, 13], [1, 1, 7, 7, 1, 61, 123],
+    [1, 1, 7, 9, 13, 61, 49], [1, 3, 3, 5, 3, 55, 33],
+    [1, 3, 1, 15, 31, 13, 49, 245], [1, 3, 5, 15, 31, 59, 63, 97],
+    [1, 3, 1, 11, 11, 11, 77, 249], [1, 3, 1, 11, 27, 43, 71, 9],
+    [1, 1, 7, 15, 21, 11, 81, 45], [1, 3, 7, 3, 25, 31, 65, 79],
+    [1, 3, 1, 1, 19, 11, 3, 205], [1, 1, 5, 9, 19, 21, 29, 157],
+    [1, 3, 7, 11, 1, 33, 89, 185], [1, 3, 3, 3, 15, 9, 79, 71],
+    [1, 3, 7, 11, 15, 39, 119, 27], [1, 1, 3, 1, 11, 31, 97, 225],
+    [1, 1, 1, 3, 23, 43, 57, 177], [1, 3, 7, 7, 17, 17, 37, 71],
+    [1, 3, 1, 5, 27, 63, 123, 213], [1, 1, 3, 5, 11, 43, 53, 133],
+    [1, 3, 5, 5, 29, 17, 47, 173, 479], [1, 3, 3, 11, 3, 1, 109, 9, 69],
+    [1, 1, 1, 5, 17, 39, 23, 5, 343], [1, 3, 1, 5, 25, 15, 31, 103, 499],
+    [1, 1, 1, 11, 11, 17, 63, 105, 183],
+    [1, 1, 5, 11, 9, 29, 97, 231, 363],
+    [1, 1, 5, 15, 19, 45, 41, 7, 383],
+    [1, 3, 7, 7, 31, 19, 83, 137, 221],
+    [1, 1, 1, 3, 23, 15, 111, 223, 83],
+    [1, 1, 5, 13, 31, 15, 55, 25, 161],
+    [1, 1, 3, 13, 25, 47, 39, 87, 257],
+]
+
+_direction_cache: dict = {}
+
+
+def direction_numbers(dim: int) -> np.ndarray:
+    """[dim, 32] uint32 Sobol direction numbers (host-side, cached).
+
+    Dimensions <= 64 come from the embedded Joe-Kuo constants; higher
+    dimensions read scipy's bundled table (same source data) when
+    scipy is importable.
+    """
+    if dim in _direction_cache:
+        return _direction_cache[dim]
+    if dim <= _MAX_EMBEDDED_DIM:
+        poly, vinit = _POLY[:dim], _VINIT[:dim]
+    else:
+        try:
+            import os
+
+            import scipy.stats as _st
+            npz = np.load(os.path.join(os.path.dirname(_st.__file__),
+                                       "_sobol_direction_numbers.npz"))
+        except Exception as exc:  # pragma: no cover
+            raise ValueError(
+                f"Sobol dimension {dim} > {_MAX_EMBEDDED_DIM} needs "
+                "scipy's Joe-Kuo table, which is unavailable: "
+                f"{exc}") from exc
+        if dim > npz["poly"].shape[0]:
+            raise ValueError(f"Sobol dimension {dim} exceeds the "
+                             f"Joe-Kuo table ({npz['poly'].shape[0]})")
+        poly = [int(p) for p in npz["poly"][:dim]]
+        vinit = [[int(x) for x in row[:max(p.bit_length() - 1, 0)]]
+                 for p, row in zip(
+                     (int(q) for q in npz["poly"][:dim]),
+                     npz["vinit"][:dim])]
+    v = np.zeros((dim, _BITS), dtype=np.uint64)
+    for k in range(_BITS):
+        v[0, k] = 1 << (_BITS - 1 - k)
+    for j in range(1, dim):
+        p = int(poly[j])
+        s = p.bit_length() - 1
+        m = [int(x) for x in vinit[j][:s]]
+        for k in range(s, _BITS):
+            newm = m[k - s] ^ (m[k - s] << s)
+            for i in range(1, s):
+                if (p >> (s - i)) & 1:
+                    newm ^= m[k - i] << i
+            m.append(newm)
+        for k in range(_BITS):
+            v[j, k] = m[k] << (_BITS - 1 - k)
+    out = v.astype(np.uint32)
+    _direction_cache[dim] = out
+    return out
+
+
+def _lms_scramble(v: jnp.ndarray, key) -> jnp.ndarray:
+    """Left linear matrix scramble (Matousek 1998) of direction numbers.
+
+    Applies an independent random lower-triangular (unit-diagonal,
+    MSB-first) GF(2) matrix per dimension: `v` is [dim, 32] uint32.
+    With the identity matrix this is a no-op (tested).
+    """
+    dim = v.shape[0]
+    rnd = jax.random.bits(key, (dim, _BITS), dtype=jnp.uint32)
+    r = np.arange(_BITS, dtype=np.uint32)
+    # Row r produces output bit (31 - r) from input bits 31 .. 31-r:
+    # random strictly-above-diagonal bits plus a set diagonal bit.
+    above = np.where(r > 0,
+                     (~np.uint32(0)) << (np.uint32(_BITS) - r),
+                     np.uint32(0)).astype(np.uint32)
+    diag = (np.uint32(1) << (np.uint32(_BITS - 1) - r)).astype(np.uint32)
+    lmat = (rnd & above[None, :]) | diag[None, :]          # [dim, 32]
+    par = jax.lax.population_count(
+        lmat[:, :, None] & v[:, None, :]) & jnp.uint32(1)  # [dim, r, b]
+    shifts = jnp.asarray(diag)                             # 1 << (31-r)
+    return jnp.sum(par * shifts[None, :, None], axis=1,
+                   dtype=jnp.uint32)
+
+
+def _sobol_uint32(num_points: int, dim: int, key=None,
+                  scramble: bool = True) -> jnp.ndarray:
+    v = jnp.asarray(direction_numbers(dim))                # [dim, 32]
+    if scramble:
+        if key is None:
+            raise ValueError("scramble=True requires a PRNG key")
+        k_lms, k_shift = jax.random.split(key)
+        v = _lms_scramble(v, k_lms)
+        shift = jax.random.bits(k_shift, (dim,), dtype=jnp.uint32)
+    i = jnp.arange(num_points, dtype=jnp.uint32)
+    gray = i ^ (i >> 1)
+    nbits = max((num_points - 1).bit_length(), 1)
+    x = jnp.zeros((num_points, dim), dtype=jnp.uint32)
+    for b in range(nbits):
+        take = ((gray >> np.uint32(b)) & jnp.uint32(1)).astype(jnp.bool_)
+        x = x ^ jnp.where(take[:, None], v[None, :, b],
+                          jnp.uint32(0))
+    if scramble:
+        x = x ^ shift[None, :]
+    return x
+
+
+def sobol_points(num_points: int, dim: int, key=None,
+                 scramble: bool = True,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """[num_points, dim] (scrambled) Sobol points in [0, 1), jittable.
+
+    With `scramble=True` (LMS + digital shift keyed by `key`) each key
+    gives an unbiased RQMC replicate: every marginal is exactly
+    uniform. `scramble=False` returns the raw Joe-Kuo sequence
+    (point 0 is the origin). float32 points carry the top 24 bits
+    (exactly representable); pass dtype=jnp.float64 under x64 for the
+    full 32.
+    """
+    x = _sobol_uint32(num_points, dim, key=key, scramble=scramble)
+    if dtype == jnp.float64:
+        return x.astype(jnp.float64) * jnp.float64(2.0 ** -32)
+    return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        2.0 ** -24)
+
+
+# ---------------------------------------------------------------------
+# Hilbert curve (Skilling 2004, "Programming the Hilbert curve").
+# ---------------------------------------------------------------------
+
+def _axes_to_transpose(coords, bits: int):
+    """Vectorized Skilling AxesToTranspose over a list of uint32 arrays."""
+    n = len(coords)
+    x = list(coords)
+    # Inverse undo.
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = jnp.uint32(q - 1)
+        qq = jnp.uint32(q)
+        for i in range(n):
+            cond = (x[i] & qq) != 0
+            t = (x[0] ^ x[i]) & p
+            x0_new = jnp.where(cond, x[0] ^ p, x[0] ^ t)
+            xi_new = jnp.where(cond, x[i], x[i] ^ t)
+            x[0] = x0_new
+            if i != 0:
+                x[i] = xi_new
+        q >>= 1
+    # Gray encode.
+    for i in range(1, n):
+        x[i] = x[i] ^ x[i - 1]
+    t = jnp.zeros_like(x[0])
+    q = 1 << (bits - 1)
+    while q > 1:
+        t = jnp.where((x[n - 1] & jnp.uint32(q)) != 0,
+                      t ^ jnp.uint32(q - 1), t)
+        q >>= 1
+    return [xi ^ t for xi in x]
+
+
+def hilbert_index(coords: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Hilbert-curve keys for integer grid coordinates.
+
+    Args:
+        coords: [..., d] uint32/int grid coordinates in [0, 2^bits).
+        bits: bits per axis; d * bits must be <= 62.
+
+    Returns:
+        [..., 2] uint32 (hi, lo) key words - consecutive keys along the
+        curve differ by one unit step in exactly one axis. Sort
+        lexicographically (hi major); `hilbert_sort_indices` does.
+    """
+    d = coords.shape[-1]
+    total = d * bits
+    if total > 62:
+        raise ValueError(f"d*bits = {total} > 62: reduce bits "
+                         f"(got d={d}, bits={bits})")
+    axes = [coords[..., i].astype(jnp.uint32) for i in range(d)]
+    x = _axes_to_transpose(axes, bits)
+    hi = jnp.zeros_like(x[0])
+    lo = jnp.zeros_like(x[0])
+    # Transpose layout: index bit (MSB first) m = (bits-1-q)*d + i is
+    # bit q of axis i; LSB position p = q*d + (d-1-i).
+    for q in range(bits):
+        for i in range(d):
+            bit = (x[i] >> jnp.uint32(q)) & jnp.uint32(1)
+            p = q * d + (d - 1 - i)
+            if p < 31:
+                lo = lo | (bit << jnp.uint32(p))
+            else:
+                hi = hi | (bit << jnp.uint32(p - 31))
+    return jnp.stack([hi, lo], axis=-1)
+
+
+def _default_bits(d: int) -> int:
+    return max(1, min(16, 62 // d))
+
+
+def hilbert_sort_indices(latent: jnp.ndarray,
+                         bits: Optional[int] = None) -> jnp.ndarray:
+    """Per-row particle order along the Hilbert curve.
+
+    Args:
+        latent: [B, K] scalars or [B, K, D] vectors. Values are
+            min-max rescaled per (row, dim) before gridding, so any
+            scale works.
+        bits: grid bits per axis (default: min(16, 62 // D)).
+
+    Returns:
+        [B, K] int32 permutation sorting each row along the curve
+        (plain value order when D == 1, where the curve is the line).
+    """
+    if latent.ndim == 2:
+        return jnp.argsort(latent, axis=-1).astype(jnp.int32)
+    if latent.ndim != 3:
+        raise ValueError("hilbert_sort_indices expects [B, K] or "
+                         f"[B, K, D]; got shape {latent.shape}")
+    d = latent.shape[-1]
+    if bits is None:
+        bits = _default_bits(d)
+    lo = jnp.min(latent, axis=1, keepdims=True)
+    hi = jnp.max(latent, axis=1, keepdims=True)
+    u01 = (latent - lo) / jnp.maximum(hi - lo, 1e-30)
+    grid = jnp.clip((u01 * (2 ** bits)).astype(jnp.int32),
+                    0, 2 ** bits - 1).astype(jnp.uint32)
+    keys = hilbert_index(grid, bits)                       # [B, K, 2]
+    order_lo = jnp.argsort(keys[..., 1], axis=-1)
+    if d * bits <= 31:
+        return order_lo.astype(jnp.int32)
+    hi_p = jnp.take_along_axis(keys[..., 0], order_lo, axis=-1)
+    order_hi = jnp.argsort(hi_p, axis=-1, stable=True)
+    return jnp.take_along_axis(order_lo, order_hi,
+                               axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------
+# Quantile (inverse-CDF) sampling of library distributions.
+# ---------------------------------------------------------------------
+
+_U_LO = 1e-8
+_U_HI = float(1.0 - 2.0 ** -24)
+
+
+def _clip_u(u):
+    return jnp.clip(u, _U_LO, _U_HI)
+
+
+def event_size(distribution) -> int:
+    """Number of uniforms one sample of `distribution` consumes."""
+    if isinstance(distribution, dists.Deterministic):
+        return 0
+    size = 1
+    for s in distribution.event_shape:
+        size *= int(s)
+    return size
+
+
+def quantile_sample(distribution, batch_size: int, num_particles: int,
+                    u: jnp.ndarray):
+    """Samples `[batch, particle, ...]` via the quantile transform.
+
+    The SQMC counterpart of `state.sample`: instead of a PRNG key it
+    consumes `u` - [batch, particle, event_size] uniforms in [0, 1) -
+    so that low-discrepancy point sets map to low-discrepancy
+    particle sets. Supports the location-scale Gaussian family (exact
+    componentwise ndtri transform), `Deterministic`, and any object
+    with a `sample_from_uniforms(u)` method. Batch-shape modes follow
+    `state.sample`.
+    """
+    mode = state.get_batch_shape_mode(distribution, batch_size,
+                                      num_particles)
+    batch_expanded = mode == BatchShapeMode.BATCH_EXPANDED
+    batch_shape = tuple(distribution.batch_shape)
+
+    def expand(p, trailing=()):
+        # Broadcast the param to the distribution's FULL batch shape
+        # plus its own trailing (event) dims first - individual params
+        # may be batch-free constants (scalar scales, a shared tril) -
+        # then insert the particle axis for BATCH_EXPANDED dists.
+        p = jnp.broadcast_to(jnp.asarray(p), batch_shape + trailing)
+        if batch_expanded:
+            p = p[:, None]
+        return p
+
+    if isinstance(distribution, dists.Deterministic):
+        event = tuple(distribution.event_shape)
+        value = expand(distribution.loc, event)
+        return jnp.broadcast_to(
+            value, (batch_size, num_particles) + event)
+    if isinstance(distribution, dists.Normal):
+        z = jax.scipy.special.ndtri(_clip_u(u[..., 0]))
+        return (expand(distribution.loc) +
+                expand(distribution.scale) * z)
+    if isinstance(distribution, dists.MultivariateNormalDiag):
+        z = jax.scipy.special.ndtri(_clip_u(u))
+        d_ev = (z.shape[-1],)
+        return (expand(distribution.loc, d_ev) +
+                expand(distribution.scale_diag, d_ev) * z)
+    if isinstance(distribution, dists.MultivariateNormalTriL):
+        z = jax.scipy.special.ndtri(_clip_u(u))
+        d_ev = (z.shape[-1],)
+        loc = expand(distribution.loc, d_ev)
+        tril = expand(distribution.scale_tril, d_ev + d_ev)
+        return loc + jnp.einsum(
+            "...ij,...j->...i",
+            jnp.broadcast_to(tril, z.shape + d_ev), z)
+    if isinstance(distribution, dists.Independent):
+        base = distribution.base
+        if (isinstance(base, dists.Normal) and
+                distribution.reinterpreted_batch_ndims == 1):
+            z = jax.scipy.special.ndtri(_clip_u(u))
+            d_ev = (z.shape[-1],)
+            return expand(base.loc, d_ev) + expand(base.scale, d_ev) * z
+        raise TypeError(
+            "quantile_sample supports Independent(Normal, 1) only; "
+            f"got Independent({type(base).__name__}, "
+            f"{distribution.reinterpreted_batch_ndims})")
+    if hasattr(distribution, "sample_from_uniforms"):
+        return distribution.sample_from_uniforms(u)
+    raise TypeError(
+        f"{type(distribution).__name__} has no quantile transform: SQMC "
+        "proposals must come from the location-scale Gaussian family "
+        "(Normal / MultivariateNormalDiag / MultivariateNormalTriL / "
+        "Independent(Normal, 1) / Deterministic) or define "
+        "sample_from_uniforms(u).")
+
+
+# ---------------------------------------------------------------------
+# The SQMC particle filter.
+# ---------------------------------------------------------------------
+
+def sqmc_infer(observations,
+               initial,
+               transition,
+               emission,
+               proposal,
+               num_particles: int,
+               key=None,
+               hilbert_bits: Optional[int] = None,
+               scramble: bool = True,
+               remat: bool = False,
+               scan_unroll: int = 1,
+               return_log_marginal_likelihood: bool = False,
+               return_latents: bool = True,
+               return_original_latents: bool = False,
+               return_log_weight: bool = True,
+               return_log_weights: bool = False,
+               return_ancestral_indices: bool = False) -> dict:
+    """SQMC particle filter (Gerber & Chopin 2015, Algorithm 2).
+
+    Identical component contract, return vocabulary, and log-Z
+    estimator shape as `inference.infer('smc', ...)` with
+    always-resampling; only the randomness source differs. Each
+    timestep and batch row consumes an independent scrambled Sobol
+    point set: the first coordinate drives inverse-CDF resampling on
+    Hilbert-ordered particles (so that nearby points select nearby
+    ancestors - the d > 1 generalization of ordered systematic
+    resampling), and the remaining d coordinates drive the proposal's
+    quantile transform.
+
+    Restrictions vs `infer`: proposals must be quantile-transformable
+    (see `quantile_sample`), latents must be single arrays (no dict
+    latents), and resampling is the Hilbert inverse-CDF scheme
+    (resampling_method/criterion knobs do not apply). The estimator
+    stays unbiased in expectation over scrambles; use num_particles a
+    power of two for the full RQMC balance property.
+
+    Returns the `infer` dict: log_marginal_likelihood [B], latents
+    (lineage-traced), original_latents, log_weight [B, K],
+    log_weights [T, B, K], ancestral_indices [T-1, B, K].
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    stacked_obs = _inference.stack_observations(observations)
+    obs_seq = _inference.ObservationSequence(stacked_obs)
+    num_timesteps = len(obs_seq)
+    batch_size = jax.tree_util.tree_leaves(stacked_obs)[0].shape[1]
+    log_num_particles = _stdmath.log(num_particles)
+
+    step_keys = jax.random.split(key, (num_timesteps, batch_size))
+
+    # ---- t = 0.
+    proposal_dist = proposal(time=0, observations=obs_seq)
+    d = event_size(proposal_dist)
+    d0 = max(d, 1)
+
+    def row_points(k, dim):
+        return sobol_points(num_particles, dim, key=k, scramble=scramble)
+
+    u0 = jax.vmap(partial(row_points, dim=d0))(step_keys[0])  # [B, K, d0]
+    latent_0 = quantile_sample(proposal_dist, batch_size, num_particles,
+                               u0)
+    proposal_log_prob = state.log_prob(proposal_dist, latent_0)
+    initial_log_prob = state.log_prob(initial(), latent_0)
+    emission_log_prob = state.log_prob(
+        emission(latents=[latent_0], time=0),
+        state.expand_observation(obs_seq[0], num_particles))
+    log_weight_0 = initial_log_prob + emission_log_prob - proposal_log_prob
+
+    if not isinstance(latent_0, (jnp.ndarray, jax.Array)):
+        raise TypeError("sqmc_infer requires array latents (the Hilbert "
+                        "sort has no order for dict latents)")
+
+    # ---- t >= 1.
+    if num_timesteps > 1:
+        searchsorted_rows = jax.vmap(
+            partial(jnp.searchsorted, side="right"))
+
+        def step(carry, inputs):
+            prev_latent, prev_log_weight = carry
+            obs_t, obs_prev, t, keys_t = inputs
+            time = _inference.TimeIndex(t)
+
+            pts = jax.vmap(partial(row_points, dim=1 + d0))(keys_t)
+            sigma = hilbert_sort_indices(prev_latent, bits=hilbert_bits)
+            order = jnp.argsort(pts[..., 0], axis=-1)
+            u_first = jnp.take_along_axis(pts[..., 0], order, axis=-1)
+            u_rest = jnp.take_along_axis(pts[..., 1:], order[..., None],
+                                         axis=1)
+
+            logw_sorted = jnp.take_along_axis(prev_log_weight, sigma,
+                                              axis=1)
+            w_sorted = _math.exponentiate_and_normalize(logw_sorted,
+                                                        dim=1)
+            cdf = jnp.cumsum(w_sorted, axis=1)
+            pos = jnp.clip(searchsorted_rows(cdf, u_first), 0,
+                           num_particles - 1)
+            ancestral_index = jnp.take_along_axis(sigma, pos, axis=1)
+            previous_latent = state.resample(prev_latent,
+                                             ancestral_index)
+
+            proposal_dist = proposal(previous_latents=[previous_latent],
+                                     time=time, observations=obs_seq)
+            latent_t = quantile_sample(proposal_dist, batch_size,
+                                       num_particles, u_rest)
+            proposal_lp = state.log_prob(proposal_dist, latent_t)
+            transition_lp = state.log_prob(
+                transition(previous_latents=[previous_latent], time=time,
+                           previous_observations=[obs_prev]),
+                latent_t)
+            emission_lp = state.log_prob(
+                emission(latents=[latent_t], time=time,
+                         previous_observations=[obs_prev]),
+                state.expand_observation(obs_t, num_particles))
+            log_weight_t = transition_lp + emission_lp - proposal_lp
+            contribution = (jax.nn.logsumexp(prev_log_weight, axis=1) -
+                            log_num_particles)
+            outs = (latent_t, log_weight_t, ancestral_index,
+                    contribution)
+            return (latent_t, log_weight_t), outs
+
+        rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
+        prev_obs = jax.tree_util.tree_map(lambda x: x[:-1], stacked_obs)
+        times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
+        body = jax.checkpoint(step) if remat else step
+        (last_latent, last_log_weight), scan_outs = jax.lax.scan(
+            body, (latent_0, log_weight_0),
+            (rest_obs, prev_obs, times, step_keys[1:]),
+            unroll=scan_unroll)
+        rest_latents, rest_log_weights, ancestral_indices, \
+            contributions = scan_outs
+    else:
+        last_latent = latent_0
+        last_log_weight = log_weight_0
+        rest_latents = None
+        rest_log_weights = None
+        contributions = jnp.zeros((0, batch_size),
+                                  dtype=log_weight_0.dtype)
+        ancestral_indices = jnp.zeros(
+            (0, batch_size, num_particles), dtype=jnp.int32)
+
+    need_original = return_latents or return_original_latents
+    original_latents = (_inference._stack_time(latent_0, rest_latents)
+                        if need_original else None)
+    log_weights = (_inference._stack_time(log_weight_0, rest_log_weights)
+                   if return_log_weights else None)
+
+    log_marginal_likelihood = (
+        jnp.sum(contributions, axis=0) +
+        jax.nn.logsumexp(last_log_weight, axis=1) - log_num_particles
+        if return_log_marginal_likelihood else None)
+    latents = (get_resampled_latents(original_latents, ancestral_indices)
+               if return_latents else None)
+
+    return {
+        "log_marginal_likelihood": log_marginal_likelihood,
+        "latents": latents,
+        "original_latents":
+            original_latents if return_original_latents else None,
+        "log_weight": last_log_weight if return_log_weight else None,
+        "log_weights": log_weights,
+        "ancestral_indices":
+            ancestral_indices if return_ancestral_indices else None,
+        "last_latent": last_latent,
+    }
+
+
+def get_resampled_latents(original_latents, ancestral_indices):
+    """Lineage-traced latents (delegates to the engine's tracer)."""
+    return _inference.get_resampled_latents(original_latents,
+                                            ancestral_indices)
