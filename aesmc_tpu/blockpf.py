@@ -1,0 +1,305 @@
+"""Localized (block) particle filter for high-dimensional models.
+
+Rebeschini & van Handel 2015 ("Can local particle filters beat the
+curse of dimensionality?"): partition the state dimensions into
+blocks and resample each block INDEPENDENTLY with weights built from
+the observations local to that block. The plain particle filter's
+error grows exponentially in the state dimension at fixed K (weight
+collapse); the block filter trades that for an O(1) bias at the block
+boundaries, giving errors that scale with the BLOCK size instead of
+the full dimension - the particle-filter analogue of the EnKF's
+covariance localization (`aesmc_tpu.enkf.gaspari_cohn_localization`).
+
+Scope: bootstrap filtering (proposal = transition), the setting the
+block filter is defined in. The emission must factorize over blocks;
+for the library's diagonal-Gaussian emissions
+(`MultivariateNormalDiag`, e.g. `models.lorenz`, `models.lgssm_nd`)
+the per-block decomposition is derived automatically from
+`obs_indices`. Anything else can pass an explicit `local_log_weight`
+callable.
+
+With a single block covering every dimension the filter IS the
+bootstrap SMC engine - bit-exact ancestors and latents under the same
+key (tests/test_blockpf.py) - so the localization bias can be
+measured by sweeping the block size.
+
+TPU notes: per-block resampling is a vmap of the shared resampler
+over a leading block axis ([J, B, K] weights -> [J, B, K] indices;
+the Pallas kernels batch over it like any batch dim), and block
+reassembly is ONE [B, K, D] take_along_axis with a per-dimension
+ancestor map - no per-block Python gathers inside the scan.
+
+Reference anchor: the reference package has no high-dimensional /
+localization machinery at all (its engine is
+/root/reference/aesmc/inference.py); this module is beyond-parity
+capability.
+"""
+
+from __future__ import annotations
+
+import math as _stdmath
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import distributions as dists
+from . import inference as _inference
+from . import resampling
+from . import state
+
+__all__ = ["block_pf", "block_filtered_mean", "contiguous_blocks",
+           "diag_emission_local_log_weights"]
+
+_HALF_LOG_2PI = 0.5 * _stdmath.log(2.0 * _stdmath.pi)
+
+
+def contiguous_blocks(dim: int, block_size: int) -> tuple:
+    """Partition `range(dim)` into contiguous blocks of `block_size`
+    (the last block takes the remainder)."""
+    return tuple(tuple(range(i, min(i + block_size, dim)))
+                 for i in range(0, dim, block_size))
+
+
+def _validate_blocks(blocks, dim: int) -> tuple:
+    flat = [d for b in blocks for d in b]
+    if sorted(flat) != list(range(dim)):
+        raise ValueError(
+            f"blocks must partition range({dim}); got {blocks}")
+    return tuple(tuple(int(d) for d in b) for b in blocks)
+
+
+def diag_emission_local_log_weights(emission,
+                                    blocks: Sequence[Sequence[int]],
+                                    obs_indices=None) -> Callable:
+    """Per-block emission log-weights for diagonal-Gaussian emissions.
+
+    The emission must return a `MultivariateNormalDiag` over the
+    observed components (the contract of `models.lorenz.Emission` and
+    `models.lgssm_nd.Emission` with a diagonal C). `obs_indices[i]`
+    names the STATE dimension that observation component i measures
+    (default: identity - fully observed); each observation component
+    is credited to the block owning that state dimension.
+
+    Returns `local(latents, time, observations) -> [B, K, n_blocks]`.
+    """
+    blocks = [tuple(b) for b in blocks]
+    dim_to_block = {}
+    for j, b in enumerate(blocks):
+        for d in b:
+            dim_to_block[int(d)] = j
+
+    def local(latents, time, observations):
+        dist = emission(latents=latents, time=time)
+        if not isinstance(dist, dists.MultivariateNormalDiag):
+            raise TypeError(
+                "diag_emission_local_log_weights needs the emission to "
+                "return MultivariateNormalDiag; got "
+                f"{type(dist).__name__}. Pass local_log_weight=... "
+                "instead.")
+        obs_t = observations[time]                     # [B, Do]
+        n_obs = jax.tree_util.tree_leaves(obs_t)[0].shape[-1]
+        oi = (list(range(n_obs)) if obs_indices is None
+              else [int(i) for i in obs_indices])
+        if len(oi) != n_obs:
+            raise ValueError(
+                f"obs_indices has {len(oi)} entries but the observation "
+                f"has {n_obs} components")
+        loc = jnp.asarray(dist.loc)                    # [B, K, Do]
+        scale = jnp.broadcast_to(jnp.asarray(dist.scale_diag), loc.shape)
+        z = (obs_t[:, None, :] - loc) / scale
+        per_dim = -0.5 * z * z - jnp.log(scale) - _HALF_LOG_2PI
+        # Segment-sum observation components into their owning blocks
+        # with one static [Do, J] 0/1 matmul (MXU-friendly, no scatters).
+        seg = np.zeros((n_obs, len(blocks)), dtype=np.float32)
+        for i, state_dim in enumerate(oi):
+            seg[i, dim_to_block[state_dim]] = 1.0
+        return per_dim @ jnp.asarray(seg, dtype=per_dim.dtype)
+
+    return local
+
+
+def block_filtered_mean(latent: jnp.ndarray, log_weight: jnp.ndarray,
+                        blocks: Sequence[Sequence[int]]) -> jnp.ndarray:
+    """Filtered posterior mean under per-block weights.
+
+    Args:
+        latent: `[..., B, K, D]` particles.
+        log_weight: `[..., B, K, J]` matching block log-weights.
+        blocks: the same partition passed to `block_pf`.
+
+    Returns:
+        `[..., B, D]`: each state dimension averaged with ITS block's
+        normalized weights (a plain `statistics.empirical_mean` would
+        wrongly weight every dimension with the same column).
+    """
+    dim = latent.shape[-1]
+    blocks = _validate_blocks(blocks, dim)
+    dim_block = np.zeros((dim,), dtype=np.int32)
+    for j, b in enumerate(blocks):
+        dim_block[list(b)] = j
+    w = jax.nn.softmax(log_weight, axis=-2)          # [..., K, J]
+    w_dim = w[..., jnp.asarray(dim_block)]           # [..., K, D]
+    return jnp.sum(latent * w_dim, axis=-2)
+
+
+def block_pf(observations,
+             initial,
+             transition,
+             emission,
+             num_particles: int,
+             blocks: Sequence[Sequence[int]],
+             key=None,
+             local_log_weight: Optional[Callable] = None,
+             obs_indices=None,
+             resampling_method: str = "systematic",
+             resampling_implementation="auto",
+             scan_unroll: int = 1,
+             remat: bool = False,
+             return_log_marginal_likelihood: bool = False,
+             return_latents: bool = True,
+             return_log_weights: bool = False,
+             return_ancestral_indices: bool = False) -> dict:
+    """Block particle filter (Rebeschini & van Handel 2015).
+
+    Args:
+        observations: stacked `[T, B, Do]` array (or list of steps).
+        initial, transition, emission: standard model components with
+            array latents `[B, K, D]` (bootstrap proposal = transition,
+            so no proposal argument).
+        num_particles: K.
+        blocks: partition of `range(D)` into index tuples, e.g. from
+            `contiguous_blocks(D, 4)`. ONE block => exactly the
+            bootstrap SMC engine (same keys, same ancestors).
+        local_log_weight: optional
+            `(latents, time, observations) -> [B, K, n_blocks]`
+            per-block incremental log-weights. Default: derived from a
+            diagonal-Gaussian emission via
+            `diag_emission_local_log_weights(emission, blocks,
+            obs_indices)`.
+        obs_indices: state dimension measured by each observation
+            component (for the default local weights).
+        resampling_method/implementation: per-block resampler; the
+            shared `resampling.sample_ancestral_index` vmapped over
+            blocks (Pallas kernels engage per their usual thresholds).
+        return_*: `infer`-style output selection. `latents` are the
+            per-step FILTERED particles (the block filter has no
+            single genealogy to lineage-trace: each dimension block
+            has its own ancestry).
+
+    Returns:
+        dict with log_marginal_likelihood `[B]` (the product-of-block
+        -evidences estimate - BIASED for J > 1 blocks by the boundary
+        decoupling, consistent as block size grows; exact for J == 1),
+        latents `[T, B, K, D]`, log_weights `[T, B, K, n_blocks]`,
+        ancestral_indices `[T-1, n_blocks, B, K]`, log_weight
+        `[B, K, n_blocks]`, last_latent.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    stacked_obs = _inference.stack_observations(observations)
+    obs_seq = _inference.ObservationSequence(stacked_obs)
+    num_timesteps = len(obs_seq)
+    batch_size = jax.tree_util.tree_leaves(stacked_obs)[0].shape[1]
+    log_num_particles = _stdmath.log(num_particles)
+
+    init_dist = initial()
+    dim = int(init_dist.event_shape[-1]) if init_dist.event_shape else 1
+    blocks = _validate_blocks(blocks, dim)
+    num_blocks = len(blocks)
+    if local_log_weight is None:
+        local_log_weight = diag_emission_local_log_weights(
+            emission, blocks, obs_indices)
+
+    # Per-dimension block ownership -> the one-gather reassembly map.
+    dim_block = np.zeros((dim,), dtype=np.int32)
+    for j, b in enumerate(blocks):
+        dim_block[list(b)] = j
+    dim_block = jnp.asarray(dim_block)
+
+    resolved_impl = resampling.resolve_implementation(
+        (batch_size, num_particles), resampling_method,
+        resampling_implementation)
+    # Same two-stream key layout as the engine
+    # (inference.py `step_keys`): [T, 2] = (resampling, proposal).
+    step_keys = jax.random.split(key, (num_timesteps, 2))
+
+    def sample_block_indices(log_w, key_t):
+        # log_w: [B, K, J]. One block uses the engine key directly (the
+        # J == 1 exactness contract); J > 1 folds in the block id.
+        lw = jnp.moveaxis(log_w, -1, 0)                # [J, B, K]
+        if num_blocks == 1:
+            keys = key_t[None]
+        else:
+            keys = jax.vmap(lambda j: jax.random.fold_in(key_t, j))(
+                jnp.arange(num_blocks))
+        return jax.vmap(
+            lambda w, k: resampling.sample_ancestral_index(
+                w, k, method=resampling_method,
+                implementation=resolved_impl))(lw, keys)   # [J, B, K]
+
+    # ---- t = 0: sample from the prior; weights are local emission lp.
+    latent_0 = state.sample(init_dist, batch_size, num_particles,
+                            step_keys[0, 1])
+    log_weight_0 = local_log_weight([latent_0], 0, obs_seq)  # [B, K, J]
+
+    if num_timesteps > 1:
+        def step(carry, inputs):
+            prev_latent, prev_log_weight = carry
+            obs_t, t, keys_t = inputs
+            time = _inference.TimeIndex(t)
+
+            anc = sample_block_indices(prev_log_weight, keys_t[0])
+            # Reassemble: dimension d takes its block's ancestor row.
+            anc_dim = anc[dim_block]                     # [D, B, K]
+            anc_dim = jnp.transpose(anc_dim, (1, 2, 0))  # [B, K, D]
+            mixed = jnp.take_along_axis(prev_latent, anc_dim, axis=1)
+
+            trans_dist = transition(previous_latents=[mixed], time=time)
+            latent_t = state.sample(trans_dist, batch_size,
+                                    num_particles, keys_t[1])
+            log_weight_t = local_log_weight([latent_t], time, obs_seq)
+            contribution = (
+                jax.nn.logsumexp(prev_log_weight, axis=1) -
+                log_num_particles)                       # [B, J]
+            outs = (latent_t, log_weight_t, anc, contribution)
+            return (latent_t, log_weight_t), outs
+
+        times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
+        rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
+        body = jax.checkpoint(step) if remat else step
+        (last_latent, last_log_weight), scan_outs = jax.lax.scan(
+            body, (latent_0, log_weight_0),
+            (rest_obs, times, step_keys[1:]), unroll=scan_unroll)
+        rest_latents, rest_log_weights, ancestral_indices, \
+            contributions = scan_outs
+    else:
+        last_latent, last_log_weight = latent_0, log_weight_0
+        rest_latents = rest_log_weights = None
+        contributions = jnp.zeros((0, batch_size, num_blocks),
+                                  dtype=log_weight_0.dtype)
+        ancestral_indices = jnp.zeros(
+            (0, num_blocks, batch_size, num_particles), dtype=jnp.int32)
+
+    log_marginal_likelihood = None
+    if return_log_marginal_likelihood:
+        log_marginal_likelihood = jnp.sum(
+            jnp.sum(contributions, axis=0) +
+            jax.nn.logsumexp(last_log_weight, axis=1) -
+            log_num_particles, axis=-1)                  # [B]
+
+    latents = (_inference._stack_time(latent_0, rest_latents)
+               if return_latents else None)
+    log_weights = (_inference._stack_time(log_weight_0, rest_log_weights)
+                   if return_log_weights else None)
+
+    return {
+        "log_marginal_likelihood": log_marginal_likelihood,
+        "latents": latents,
+        "log_weight": last_log_weight,
+        "log_weights": log_weights,
+        "ancestral_indices":
+            ancestral_indices if return_ancestral_indices else None,
+        "last_latent": last_latent,
+    }
