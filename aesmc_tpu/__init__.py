@@ -9,11 +9,13 @@ resampling variants, mesh parallelism, checkpointing, and benchmarks.
 
 __version__ = "0.3.0"
 
+from . import blockpf
 from . import checkpoint
 from . import csmc
 from . import distributions
 from . import enkf
 from . import gradients
+from . import if2
 from . import inference
 from . import losses
 from . import math
@@ -27,6 +29,7 @@ from . import rbpf
 from . import resampling
 from . import samplers
 from . import smc2
+from . import sqmc
 from . import state
 from . import smoothing
 from . import tmc
@@ -36,10 +39,11 @@ from . import utils
 from . import variance
 
 __all__ = [
-    "checkpoint", "csmc", "distributions", "enkf", "gradients",
-    "inference",
+    "blockpf", "checkpoint", "csmc", "distributions", "enkf", "gradients",
+    "if2", "inference",
     "losses", "math", "models", "online", "ot", "parallel", "profiling",
     "proposals", "rbpf", "resampling", "samplers", "smc2", "smoothing",
+    "sqmc",
     "state", "statistics", "tmc", "train", "utils", "variance",
     "__version__",
 ]
