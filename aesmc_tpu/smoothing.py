@@ -49,9 +49,227 @@ from .tmc import _expand_prev, _expand_new, _pairwise_log_prob
 __all__ = ["backward_simulation", "paris", "paris_score"]
 
 
+def _auto_log_bound(transition, prev_latent, time, prev_obs_list):
+    """Upper bound on log p(x' | x) over children AND parents.
+
+    For location-family transitions (all the library's Gaussians) the
+    density is maximized at its mean, so `log_prob(mean)` is the exact
+    per-parent supremum over children; the max over parents bounds the
+    whole backward-kernel row. Returns `[B]`.
+    """
+    dist = transition(previous_latents=[prev_latent], time=time,
+                      previous_observations=prev_obs_list)
+    try:
+        mode = dist.mean
+    except Exception as exc:
+        raise TypeError(
+            "backward='rejection' needs a transition density bound: the "
+            f"auto bound reads `.mean` of the transition distribution "
+            f"({type(dist).__name__} has none). Pass "
+            "transition_log_bound=fn(prev_latent, time, "
+            "previous_observations) -> [B].") from exc
+    return jnp.max(state.log_prob(dist, mode), axis=1)
+
+
+def _chunk_size(k: int, target: int = 4096) -> int:
+    """Largest divisor of k <= target (k itself when only tiny divisors
+    exist - a prime K just pays one dense pass)."""
+    best = 1
+    for d in range(1, target + 1):
+        if k % d == 0:
+            best = d
+    return best if (best >= 256 or k <= target) else k
+
+
+def _exact_backward_draw(key, prev_latent, prev_log_weight,
+                         children_sel, transition, time, prev_obs_list):
+    """EXACT backward-kernel categorical for a SMALL set of children.
+
+    Gumbel-max over parent chunks: for every selected child lane l,
+    J_l = argmax_j (log w^j + log p(child_l | parent_j) + G_{lj}) with
+    iid Gumbel noise - an exact categorical draw computed with
+    O(chunk * L) live memory per step instead of the [B, K, L] tile
+    (the running max rides a `lax.scan` over parent chunks), so it
+    stays cheap at the particle counts rejection mode exists for.
+
+    Args:
+        children_sel: `[B, L(, D)]` pytree of children to resolve.
+    Returns:
+        `[B, L]` int32 parent indices.
+    """
+    batch_size, l = _first_leaf(children_sel).shape[:2]
+    k = prev_log_weight.shape[1]
+    chunk = _chunk_size(k)
+    n_chunks = k // chunk
+
+    parents_x = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(
+            x.reshape((batch_size, n_chunks, chunk) + x.shape[2:]),
+            1, 0),
+        prev_latent)                         # [n_chunks, B, chunk, ...]
+    logw_x = jnp.moveaxis(
+        prev_log_weight.reshape(batch_size, n_chunks, chunk), 1, 0)
+
+    def per_parent(parent):                  # parent [B(, D)]
+        parent1 = jax.tree_util.tree_map(lambda x: x[:, None], parent)
+        dist = transition(previous_latents=[parent1], time=time,
+                          previous_observations=prev_obs_list)
+        return state.log_prob(dist, children_sel)             # [B, L]
+
+    def chunk_body(carry, inputs):
+        best, best_idx = carry
+        chunk_i, parents_c, logw_c = inputs
+        lp = jax.vmap(per_parent, in_axes=1,
+                      out_axes=1)(parents_c)              # [B, chunk, L]
+        g = jax.random.gumbel(
+            jax.random.fold_in(key, chunk_i),
+            (batch_size, chunk, l), dtype=best.dtype)
+        score = lp + logw_c[:, :, None] + g
+        m = jnp.max(score, axis=1)                            # [B, L]
+        am = (chunk_i * chunk +
+              jnp.argmax(score, axis=1).astype(jnp.int32))    # [B, L]
+        take = m > best
+        return (jnp.where(take, m, best),
+                jnp.where(take, am, best_idx)), None
+
+    best0 = jnp.full((batch_size, l), -jnp.inf,
+                     dtype=prev_log_weight.dtype)
+    idx0 = jnp.zeros((batch_size, l), dtype=jnp.int32)
+    (_, idx), _ = jax.lax.scan(
+        chunk_body, (best0, idx0),
+        (jnp.arange(n_chunks, dtype=jnp.int32), parents_x, logw_x))
+    return idx
+
+
+def _rejection_backward_indices(key, prev_latent, prev_log_weight,
+                                children, transition, time,
+                                prev_obs_list, num_draws: int,
+                                log_bound, max_rounds: int,
+                                max_exact_lanes=None):
+    """Backward-kernel parent draws by rejection sampling - O(K) total.
+
+    Samples, for every child particle i (and draw n), an index
+    J ~ Categorical_j( wbar_{t-1}^j * p(child_i | parent_j) ) WITHOUT
+    forming the [B, K, K] pairwise tile (Douc, Garivier, Moulines &
+    Olsson 2011): propose J ~ wbar (inverse-CDF), accept with
+    probability p(child | parent_J) / bound. Each round costs O(C * N)
+    pointwise transition evaluations; rounds repeat under
+    `lax.while_loop` until every lane has accepted or `max_rounds` is
+    hit. Lanes still alive then (outlier children whose per-round
+    acceptance sum_j w^j p(child|x^j)/bound is tiny - the known heavy
+    tail of rejection FFBS) are resolved by the HYBRID scheme: up to
+    `max_exact_lanes` of them get an exact chunked Gumbel-max
+    categorical (`_exact_backward_draw`, O(K * L) pointwise evals) -
+    so the draw is exact unless MORE than `max_exact_lanes` lanes
+    survive, which the returned diagnostics report.
+
+    Args:
+        children: `[B, C(, D)]` pytree of child particles (C = K for
+            PaRIS, C = M trajectories for FFBS).
+        log_bound: `[B]` log upper bound on the transition density.
+        max_exact_lanes: static cap on exact-fallback lanes per call
+            (None: auto max(128, lanes/8); 0 disables the fallback).
+    Returns:
+        (idx `[B, C, N]` int32, accept_rate `[B]` - fraction of lanes
+        accepted by round 1 (the geometric rate), unconverged `[B]` -
+        lanes still unresolved at exit, 0 == the draw was exact).
+    """
+    batch_size, c = _first_leaf(children).shape[:2]
+    n = num_draws
+    flat = batch_size  # alias for readability in shapes below
+    w = jax.nn.softmax(prev_log_weight, axis=1)
+    cdf = jnp.cumsum(w, axis=1)                               # [B, K]
+    k = cdf.shape[1]
+
+    children_flat = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, n, axis=1), children)         # [B, C*N]
+
+    def eval_lp(j_flat):
+        parents = jax.tree_util.tree_map(
+            lambda x: jnp.take_along_axis(
+                x, j_flat.reshape(j_flat.shape +
+                                  (1,) * (x.ndim - 2)), axis=1),
+            prev_latent)                                      # [B, C*N]
+        dist = transition(previous_latents=[parents], time=time,
+                          previous_observations=prev_obs_list)
+        return state.log_prob(dist, children_flat)            # [B, C*N]
+
+    searchsorted_rows = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right"))
+
+    if max_exact_lanes is None:
+        # Auto: enough to absorb a whole low-acceptance step (weight-
+        # degenerate filters can strand hundreds of lanes at one t).
+        lanes = min(c * n, max(128, (c * n) // 8))
+    else:
+        lanes = min(int(max_exact_lanes), c * n)
+
+    def cond(carry):
+        _, _, accepted, rounds = carry
+        alive = jnp.sum(jnp.logical_not(accepted))
+        # Stop early once the exact fallback can absorb all survivors
+        # per batch row (counted conservatively across the batch).
+        return jnp.logical_and(rounds < max_rounds, alive > lanes)
+
+    def body(carry):
+        key, idx, accepted, rounds = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        u_sel = jax.random.uniform(k1, (flat, c * n))
+        j_cand = jnp.clip(searchsorted_rows(cdf, u_sel), 0,
+                          k - 1).astype(jnp.int32)
+        log_u = jnp.log(jax.random.uniform(
+            k2, (flat, c * n), minval=1e-38))
+        acc_new = log_u < (eval_lp(j_cand) - log_bound[:, None])
+        fresh = jnp.logical_and(jnp.logical_not(accepted), acc_new)
+        # Unconverged lanes track their LAST proposal as the fallback.
+        idx = jnp.where(jnp.logical_or(fresh,
+                                       jnp.logical_not(accepted)),
+                        j_cand, idx)
+        accepted = jnp.logical_or(accepted, acc_new)
+        return key, idx, accepted, rounds + 1
+
+    idx0 = jnp.zeros((flat, c * n), dtype=jnp.int32)
+    accepted0 = jnp.zeros((flat, c * n), dtype=bool)
+    # One unrolled first round (to read the acceptance rate), then loop.
+    key_loop, idx, accepted, rounds = body((key, idx0, accepted0, 0))
+    accept_rate = jnp.mean(accepted, axis=1)
+    key_final, idx, accepted, _ = jax.lax.while_loop(
+        cond, body, (key_loop, idx, accepted, rounds))
+
+    if lanes > 0:
+        # Hybrid exact fallback: gather the (up to `lanes`) still-alive
+        # children to the front, draw their parents exactly, scatter
+        # back. Already-accepted lanes in the gathered window keep
+        # their (equally exact) rejection draw.
+        order = jnp.argsort(accepted, axis=1,
+                            stable=True)[:, :lanes]          # alive 1st
+        alive_sel = jnp.logical_not(
+            jnp.take_along_axis(accepted, order, axis=1))    # [B, L]
+        children_sel = jax.tree_util.tree_map(
+            lambda x: jnp.take_along_axis(
+                x, order.reshape(order.shape + (1,) * (x.ndim - 2)),
+                axis=1),
+            children_flat)
+        idx_exact = _exact_backward_draw(
+            key_final, prev_latent, prev_log_weight, children_sel,
+            transition, time, prev_obs_list)
+        brow = jnp.arange(flat)[:, None]
+        keep = jnp.take_along_axis(idx, order, axis=1)
+        idx = idx.at[brow, order].set(
+            jnp.where(alive_sel, idx_exact, keep))
+        accepted = accepted.at[brow, order].set(True)
+
+    unconverged = jnp.sum(jnp.logical_not(accepted), axis=1)
+    return (idx.reshape(batch_size, c, n), accept_rate, unconverged)
+
+
 def backward_simulation(original_latents, log_weights, transition,
                         num_trajectories: int, key,
-                        observations=None, scan_unroll: int = 1):
+                        observations=None, scan_unroll: int = 1,
+                        backward: str = "pairwise",
+                        transition_log_bound=None,
+                        max_rejection_rounds: int = 64,
+                        max_exact_lanes=None):
     """Draws `num_trajectories` joint smoothing trajectories.
 
     Args:
@@ -66,9 +284,26 @@ def backward_simulation(original_latents, log_weights, transition,
         key: PRNG key.
         observations: optional observations (list or stacked) if the
             transition reads `previous_observations`.
+        backward: 'pairwise' (default - the [B, K, M] transition tile,
+            exact categorical) or 'rejection' - O(K + M) per step via
+            rejection sampling against a transition-density bound
+            (`_rejection_backward_indices`): the large-K mode, exact
+            whenever every lane accepts within `max_rejection_rounds`.
+        transition_log_bound: optional
+            `fn(prev_latent, time, previous_observations) -> [B]` log
+            upper bound on the transition density (default: auto from
+            `log_prob(mean)` - exact for the library's Gaussians).
+        max_rejection_rounds: rejection-round cap (see above).
+        max_exact_lanes: static cap on hybrid exact-fallback lanes
+            per step (lanes that exhaust the rejection rounds get an
+            exact chunked Gumbel-max draw). None (default) auto-sizes
+            to max(128, lanes/8); 0 disables the fallback.
     Returns:
         `[T, B, M, ...]` pytree of smoothing trajectories.
     """
+    if backward not in ("pairwise", "rejection"):
+        raise ValueError(f"backward must be 'pairwise' or 'rejection'. "
+                         f"currently = {backward}")
     log_weights = jnp.asarray(log_weights)
     num_timesteps, batch_size, _ = log_weights.shape
     m = num_trajectories
@@ -99,14 +334,26 @@ def backward_simulation(original_latents, log_weights, transition,
         time = TimeIndex(t + 1)
         prev_obs_list = [obs_prev] if obs_prev is not None else None
 
-        pair_dist = transition(
-            previous_latents=[_expand_prev(latent_t)], time=time,
-            previous_observations=prev_obs_list)
-        # trans_lp[b, k, m] = log p(chosen^m | candidate parent^k)
-        trans_lp = _pairwise_log_prob(pair_dist, _expand_new(chosen))
-        logits = logw_t[:, :, None] + trans_lp               # [B, K, M]
-        idx = jax.random.categorical(
-            sub, jnp.moveaxis(logits, 1, 2), axis=-1)        # [B, M]
+        if backward == "rejection":
+            log_bound = (
+                transition_log_bound(latent_t, time, prev_obs_list)
+                if transition_log_bound is not None else
+                _auto_log_bound(transition, latent_t, time,
+                                prev_obs_list))
+            idx, _, _ = _rejection_backward_indices(
+                sub, latent_t, logw_t, chosen, transition, time,
+                prev_obs_list, 1, log_bound, max_rejection_rounds,
+                max_exact_lanes)
+            idx = idx[..., 0]                                # [B, M]
+        else:
+            pair_dist = transition(
+                previous_latents=[_expand_prev(latent_t)], time=time,
+                previous_observations=prev_obs_list)
+            # trans_lp[b, k, m] = log p(chosen^m | candidate parent^k)
+            trans_lp = _pairwise_log_prob(pair_dist, _expand_new(chosen))
+            logits = logw_t[:, :, None] + trans_lp           # [B, K, M]
+            idx = jax.random.categorical(
+                sub, jnp.moveaxis(logits, 1, 2), axis=-1)    # [B, M]
         new_chosen = pick(latent_t, idx)
         return new_chosen, new_chosen
 
@@ -133,6 +380,10 @@ def paris(observations, initial, transition, emission, proposal,
           resampling_method: str = "systematic",
           resampling_implementation="auto",
           pairwise: str = "auto",
+          backward: str = "pairwise",
+          transition_log_bound=None,
+          max_rejection_rounds: int = 64,
+          max_exact_lanes=None,
           remat: bool = True,
           scan_unroll: int = 1):
     """PaRIS: forward-only smoothing of an additive functional.
@@ -178,14 +429,39 @@ def paris(observations, initial, transition, emission, proposal,
             `aesmc_tpu.tmc`): 'broadcast' builds the transition once
             from [B, K, 1] parents (arithmetic transitions);
             'vmap' maps it over parents (neural transitions).
+        backward: 'pairwise' (default) or 'rejection' - PaRIS with
+            REJECTION backward sampling (Douc et al. 2011; the
+            implementation Olsson & Westerborn recommend): parents
+            proposed from the filter weights and accepted against a
+            transition-density bound, O(K * N) per round under a
+            `lax.while_loop` instead of the O(K^2) tile - the large-K
+            mode. Exact whenever every lane accepts within
+            `max_rejection_rounds` (the output reports acceptance
+            diagnostics); `pairwise` is ignored.
+        transition_log_bound: optional `fn(prev_latent, time,
+            previous_observations) -> [B]` log upper bound on the
+            transition density; default auto-derives `log_prob(mean)`
+            (exact for the library's location-family Gaussians).
+        max_rejection_rounds: rejection-round cap per step.
+        max_exact_lanes: static cap on hybrid exact-fallback lanes
+            per step (survivors of the rejection rounds get an exact
+            chunked Gumbel-max draw). None (default) auto-sizes to
+            max(128, lanes/8); 0 disables the fallback.
         remat: rematerialize the scan body on the backward pass.
 
     Returns:
         dict with 'smoothed' `[batch(, D)]` (the estimate of
         E[S | y]), 'tau' `[batch, K(, D)]` (final per-particle
         statistics), 'log_weight' `[batch, K]`,
-        'log_marginal_likelihood' `[batch]`.
+        'log_marginal_likelihood' `[batch]`; with
+        backward='rejection' also 'backward_accept_rate' `[batch]`
+        (mean first-round acceptance over steps - the geometric rate)
+        and 'backward_unconverged' `[batch]` (total lanes that hit
+        `max_rejection_rounds`, 0 when the run was exact).
     """
+    if backward not in ("pairwise", "rejection"):
+        raise ValueError(f"backward must be 'pairwise' or 'rejection'. "
+                         f"currently = {backward}")
     if num_backward_draws < 1:
         raise ValueError(
             "num_backward_draws must be >= 1. currently = "
@@ -220,10 +496,16 @@ def paris(observations, initial, transition, emission, proposal,
     if num_timesteps == 1:
         w = jax.nn.softmax(log_weight_0, axis=1)
         smoothed = jnp.einsum("bk,bk...->b...", w, tau_0)
-        return {"smoothed": smoothed, "tau": tau_0,
-                "log_weight": log_weight_0,
-                "log_marginal_likelihood":
-                    jax.nn.logsumexp(log_weight_0, axis=1) - log_k}
+        out = {"smoothed": smoothed, "tau": tau_0,
+               "log_weight": log_weight_0,
+               "log_marginal_likelihood":
+                   jax.nn.logsumexp(log_weight_0, axis=1) - log_k}
+        if backward == "rejection":  # no backward steps at T=1
+            out["backward_accept_rate"] = jnp.ones(
+                (batch_size,), log_weight_0.dtype)
+            out["backward_unconverged"] = jnp.zeros(
+                (batch_size,), jnp.int32)
+        return out
 
     # Resolve 'auto' ONCE, outside the scan, with jax.eval_shape (an
     # in-body probe would survive DCE under jax.checkpoint - the
@@ -270,31 +552,54 @@ def paris(observations, initial, transition, emission, proposal,
             state.log_prob(proposal_dist, latent_t))
         contribution = (jax.nn.logsumexp(prev_log_weight, axis=1) - log_k)
 
-        # Backward-kernel logits over PRE-resampling parents:
-        # logits[b, i_child, j_parent]
-        #   = log w_{t-1}^j + log p(x_t^i | x_{t-1}^j).
-        if resolved_pairwise == "broadcast":
-            pair_dist = transition(
-                previous_latents=[_expand_prev(prev_latent)], time=time,
-                previous_observations=prev_obs_list)
-            a = _pairwise_log_prob(pair_dist, _expand_new(latent_t))
+        # Backward-kernel draws over PRE-resampling parents:
+        # J ~ Categorical_j( w_{t-1}^j * p(x_t^i | x_{t-1}^j) ).
+        if backward == "rejection":
+            # O(K * N) per round: propose from the filter weights,
+            # accept against the transition-density bound - no
+            # [B, K, K] tile (Douc et al. 2011).
+            log_bound = (
+                transition_log_bound(prev_latent, time, prev_obs_list)
+                if transition_log_bound is not None else
+                _auto_log_bound(transition, prev_latent, time,
+                                prev_obs_list))
+            j_all, acc_rate, unconv = _rejection_backward_indices(
+                keys_t[2], prev_latent, prev_log_weight, latent_t,
+                transition, time, prev_obs_list, num_backward_draws,
+                log_bound, max_rejection_rounds,
+                max_exact_lanes)                      # [B, K, N]
         else:
-            def per_parent(parent):
-                parent1 = jax.tree_util.tree_map(lambda x: x[:, None],
-                                                 parent)
-                dist = transition(previous_latents=[parent1], time=time,
-                                  previous_observations=prev_obs_list)
-                return state.log_prob(dist, latent_t)        # [B, K]
-            a = jax.vmap(per_parent, in_axes=1, out_axes=1)(prev_latent)
-        # a[b, j_parent, i_child] -> transpose to child-major.
-        logits = (jnp.swapaxes(a, 1, 2) +
-                  prev_log_weight[:, None, :])               # [B, Ki, Kj]
+            # Exact categorical from the [B, Ki, Kj] pairwise tile:
+            # logits[b, i_child, j_parent]
+            #   = log w_{t-1}^j + log p(x_t^i | x_{t-1}^j).
+            if resolved_pairwise == "broadcast":
+                pair_dist = transition(
+                    previous_latents=[_expand_prev(prev_latent)],
+                    time=time, previous_observations=prev_obs_list)
+                a = _pairwise_log_prob(pair_dist, _expand_new(latent_t))
+            else:
+                def per_parent(parent):
+                    parent1 = jax.tree_util.tree_map(
+                        lambda x: x[:, None], parent)
+                    dist = transition(previous_latents=[parent1],
+                                      time=time,
+                                      previous_observations=prev_obs_list)
+                    return state.log_prob(dist, latent_t)    # [B, K]
+                a = jax.vmap(per_parent, in_axes=1,
+                             out_axes=1)(prev_latent)
+            # a[b, j_parent, i_child] -> transpose to child-major.
+            logits = (jnp.swapaxes(a, 1, 2) +
+                      prev_log_weight[:, None, :])           # [B, Ki, Kj]
+            draw_keys = jax.random.split(keys_t[2], num_backward_draws)
+            j_all = jnp.stack(
+                [jax.random.categorical(draw_keys[n], logits, axis=-1)
+                 for n in range(num_backward_draws)], axis=-1)
+            acc_rate = jnp.ones((batch_size,), log_weight_t.dtype)
+            unconv = jnp.zeros((batch_size,), jnp.int32)
 
-        draw_keys = jax.random.split(keys_t[2], num_backward_draws)
         acc = None
         for n in range(num_backward_draws):
-            j_idx = jax.random.categorical(draw_keys[n], logits,
-                                           axis=-1)          # [B, K]
+            j_idx = j_all[..., n]                            # [B, K]
             tau_j = jnp.take_along_axis(
                 tau, j_idx.reshape(j_idx.shape + (1,) * (tau.ndim - 2)),
                 axis=1)
@@ -307,13 +612,15 @@ def paris(observations, initial, transition, emission, proposal,
             acc = term if acc is None else acc + term
         tau_t = acc / num_backward_draws
 
-        return (latent_t, log_weight_t, tau_t), contribution
+        return (latent_t, log_weight_t, tau_t), (contribution, acc_rate,
+                                                 unconv)
 
     rest_obs = jax.tree_util.tree_map(lambda x: x[1:], stacked_obs)
     prev_obs = jax.tree_util.tree_map(lambda x: x[:-1], stacked_obs)
     times = jnp.arange(1, num_timesteps, dtype=jnp.int32)
     body = jax.checkpoint(step) if remat else step
-    (last_latent, last_log_weight, tau_last), contributions = \
+    ((last_latent, last_log_weight, tau_last),
+     (contributions, acc_rates, unconvs)) = \
         jax.lax.scan(body, (latent_0, log_weight_0, tau_0),
                      (rest_obs, prev_obs, times, step_keys[1:]),
                      unroll=scan_unroll)
@@ -322,9 +629,13 @@ def paris(observations, initial, transition, emission, proposal,
     smoothed = jnp.einsum("bk,bk...->b...", w, tau_last)
     log_ml = (jnp.sum(contributions, axis=0) +
               jax.nn.logsumexp(last_log_weight, axis=1) - log_k)
-    return {"smoothed": smoothed, "tau": tau_last,
-            "log_weight": last_log_weight,
-            "log_marginal_likelihood": log_ml}
+    out = {"smoothed": smoothed, "tau": tau_last,
+           "log_weight": last_log_weight,
+           "log_marginal_likelihood": log_ml}
+    if backward == "rejection":
+        out["backward_accept_rate"] = jnp.mean(acc_rates, axis=0)
+        out["backward_unconverged"] = jnp.sum(unconvs, axis=0)
+    return out
 
 
 def paris_score(observations, build_components, params,

@@ -229,3 +229,79 @@ class TestStructure:
         with pytest.raises(ValueError, match="pairwise"):
             smoothing.paris(obs, *_components(), 8,
                             h=lambda xp, xc, t: xc, pairwise="bogus")
+        with pytest.raises(ValueError, match="backward"):
+            smoothing.paris(obs, *_components(), 8,
+                            h=lambda xp, xc, t: xc, backward="bogus")
+
+
+class TestRejectionBackward:
+    """backward='rejection': O(K) backward draws by rejection against
+    the auto transition-density bound (exact for Gaussians)."""
+
+    def test_matches_exact_moments(self):
+        """Same RTS oracle as the pairwise tests - the rejection draw
+        targets the identical categorical, so the estimator tolerance
+        is unchanged."""
+        obs = _observations()
+        out = smoothing.paris(
+            obs, *_components(), K,
+            h=lambda xp, xc, t: jnp.stack([xc, xp * xc], axis=-1),
+            h0=lambda x0: jnp.stack([x0, jnp.zeros_like(x0)], axis=-1),
+            key=KEY, backward="rejection", num_backward_draws=4)
+        est = np.asarray(out["smoothed"])
+        for b in range(B):
+            sm, _, cross = _exact_moments(np.asarray(obs[:, b],
+                                                     np.float64))
+            assert abs(est[b, 0] - sm.sum()) < 0.35, (b, est[b, 0],
+                                                      sm.sum())
+            assert abs(est[b, 1] - cross.sum()) < 0.5, (b, est[b, 1],
+                                                        cross.sum())
+
+    def test_diagnostics_exact_run(self):
+        """With the exact Gaussian bound and 64 rounds every lane
+        accepts: unconverged == 0 means the draw was EXACT."""
+        obs = _observations()
+        out = smoothing.paris(obs, *_components(), 256,
+                              h=lambda xp, xc, t: xc, key=KEY,
+                              backward="rejection")
+        acc = np.asarray(out["backward_accept_rate"])
+        unc = np.asarray(out["backward_unconverged"])
+        assert np.all(unc == 0), unc
+        assert np.all((acc > 0.0) & (acc <= 1.0)), acc
+
+    def test_explicit_bound(self):
+        """User-supplied transition_log_bound rides instead of auto.
+        A looser (valid) bound only slows acceptance - the smoothed
+        estimate stays consistent with the pairwise run."""
+        obs = _observations()
+
+        def bound(prev_latent, time, prev_obs):
+            # N(.; mu, Q) peak is 1/sqrt(2 pi Q); pad by log 2.
+            peak = -0.5 * np.log(2 * np.pi * Q)
+            return jnp.full((B,), peak + np.log(2.0))
+
+        o_rej = smoothing.paris(obs, *_components(), K,
+                                h=lambda xp, xc, t: xc, key=KEY,
+                                backward="rejection",
+                                transition_log_bound=bound)
+        o_pair = smoothing.paris(obs, *_components(), K,
+                                 h=lambda xp, xc, t: xc, key=KEY)
+        np.testing.assert_allclose(np.asarray(o_rej["smoothed"]),
+                                   np.asarray(o_pair["smoothed"]),
+                                   atol=0.5)
+        assert np.all(np.asarray(o_rej["backward_unconverged"]) == 0)
+
+    def test_jittable(self):
+        obs = jax.random.normal(jax.random.PRNGKey(12), (6, 2))
+        f = jax.jit(lambda o: smoothing.paris(
+            o, *_components(), 64, h=lambda xp, xc, t: xc, key=KEY,
+            backward="rejection")["smoothed"])
+        assert np.all(np.isfinite(np.asarray(f(obs))))
+
+    def test_t1_has_diagnostics(self):
+        obs = jax.random.normal(jax.random.PRNGKey(13), (1, 2))
+        out = smoothing.paris(obs, *_components(), 64,
+                              h=lambda xp, xc, t: xc, key=KEY,
+                              backward="rejection")
+        assert out["backward_unconverged"].shape == (2,)
+        assert np.all(np.asarray(out["backward_accept_rate"]) == 1.0)

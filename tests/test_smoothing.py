@@ -61,6 +61,32 @@ def test_no_early_time_degeneracy():
         ffbs_var_t0, exact_t0)
 
 
+def test_rejection_backward_matches_rts():
+    """FFBS with O(K + M) rejection backward draws targets the exact
+    same backward categorical: same RTS-moment oracle, same tolerance
+    as the pairwise-tile test above."""
+    obs, transition, out, ms, ps = _filter_run()
+    traj = smoothing.backward_simulation(
+        out["original_latents"], out["log_weights"], transition, 400,
+        jax.random.PRNGKey(2), observations=obs, backward="rejection")
+    assert traj.shape == (20, 2, 400)
+    means = np.asarray(jnp.mean(traj, axis=2))
+    vars_ = np.asarray(jnp.var(traj, axis=2))
+    rmse = float(np.sqrt(np.mean((means - ms) ** 2)))
+    assert rmse < 0.06, rmse
+    vdev = float(np.mean(np.abs(vars_ - ps) / ps))
+    assert vdev < 0.25, vdev
+
+
+def test_rejection_backward_validation():
+    import pytest
+    obs, transition, out, _, _ = _filter_run(T=4, K=64)
+    with pytest.raises(ValueError, match="backward"):
+        smoothing.backward_simulation(
+            out["original_latents"], out["log_weights"], transition, 8,
+            jax.random.PRNGKey(2), observations=obs, backward="bogus")
+
+
 def test_jittable():
     obs, transition, out, _, _ = _filter_run(T=6, K=128)
 
