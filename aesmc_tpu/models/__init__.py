@@ -7,6 +7,7 @@ the exact Kalman oracle.
 
 from . import bouncing_ball
 from . import gaussian
+from . import hmm
 from . import kalman
 from . import kalman_nd
 from . import lgssm
@@ -15,5 +16,6 @@ from . import lorenz
 from . import stochastic_volatility
 from . import vrnn
 
-__all__ = ["bouncing_ball", "gaussian", "kalman", "kalman_nd", "lgssm", "lgssm_nd",
-           "lorenz", "stochastic_volatility", "vrnn"]
+__all__ = ["bouncing_ball", "gaussian", "hmm", "kalman", "kalman_nd",
+           "lgssm", "lgssm_nd", "lorenz", "stochastic_volatility",
+           "vrnn"]

@@ -109,9 +109,14 @@ def _is_distribution(obj) -> bool:
 def sample(distribution, batch_size: int, num_particles: int, key):
     """Samples `[batch_size, num_particles, ...]` arrays (or pytrees).
 
-    Requires reparameterized distributions, matching the reference's
-    rsample-only stance (/root/reference/aesmc/state.py:97-100): AESMC
-    gradients are pathwise through the proposal samples.
+    Reparameterized distributions sample via `rsample`, matching the
+    reference's stance (/root/reference/aesmc/state.py:97-100): AESMC
+    gradients are pathwise through the proposal samples. DEVIATION:
+    non-reparameterizable distributions (discrete latents - e.g. the
+    HMM model family) do NOT raise here; they sample under an explicit
+    `stop_gradient`, so filtering/evidence estimation works and no
+    silently-wrong pathwise gradient can flow (train such proposals
+    with `losses.get_loss(gradient_estimator='score')`).
 
     Args:
         distribution: a `distributions.Distribution`, a raw array (passed
@@ -136,7 +141,11 @@ def sample(distribution, batch_size: int, num_particles: int, key):
             raise ValueError(
                 f"batch_shape_mode {mode} not supported")
 
-        result = distribution.rsample(key, sample_shape)
+        if getattr(distribution, "has_rsample", True):
+            result = distribution.rsample(key, sample_shape)
+        else:
+            result = jax.lax.stop_gradient(
+                distribution.sample(key, sample_shape))
 
         if mode == BatchShapeMode.BATCH_EXPANDED:
             # [num_particles, batch_size, ...] -> [batch, particle, ...]

@@ -1,0 +1,188 @@
+"""Discrete-latent HMM family vs the exact forward-backward oracle.
+
+Exercises engine paths no Gaussian model reaches: non-reparameterizable
+proposal sampling, integer-particle resampling gather, Categorical
+pairwise broadcasting in FFBS, and user-supplied rejection bounds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aesmc_tpu import inference, smoothing, statistics
+from aesmc_tpu.models import hmm
+
+KEY = jax.random.PRNGKey(0)
+D, T, B, K = 3, 25, 2, 2048
+
+
+def _setup(proposal="optimal"):
+    comps = hmm.make_model(num_states=D, emission_scale=0.6,
+                           stay_prob=0.85, proposal=proposal)
+    initial, transition, emission, prop = comps
+    _, obs = statistics.sample_from_prior(
+        initial, transition, emission, T, B, key=jax.random.PRNGKey(7))
+    return comps, obs
+
+
+def _oracle_args(comps):
+    initial, transition, emission, _ = comps
+    return (initial.logits, transition.logits, emission.locs,
+            emission.scale)
+
+
+class TestFiltering:
+    def test_latents_are_integer(self):
+        comps, obs = _setup()
+        out = inference.infer("smc", obs, *comps, 64,
+                              key=jax.random.PRNGKey(1))
+        assert jnp.issubdtype(out["latents"].dtype, jnp.integer)
+        assert out["latents"].shape == (T, B, 64)
+
+    def test_log_z_matches_exact_forward(self):
+        """Fully-adapted proposal + multinomial resampling: log-Z within
+        MC tolerance of the exact forward log-likelihood."""
+        comps, obs = _setup()
+        out = inference.infer("smc", obs, *comps, K,
+                              key=jax.random.PRNGKey(2),
+                              resampling_method="multinomial",
+                              return_log_marginal_likelihood=True)
+        lz = np.asarray(out["log_marginal_likelihood"])
+        for b in range(B):
+            _, exact = hmm.hmm_forward(np.asarray(obs[:, b]),
+                                       *_oracle_args(comps))
+            assert abs(lz[b] - exact) < 0.05, (b, lz[b], exact)
+
+    def test_filtered_occupancy_matches_forward(self):
+        """E[1{x_t = j} | y_{0:t}] from the particle cloud vs the exact
+        forward recursion, every t and state."""
+        comps, obs = _setup()
+        out = inference.infer(
+            "smc", obs, *comps, K, key=jax.random.PRNGKey(3),
+            return_log_weights=True, return_original_latents=True)
+        lat = np.asarray(out["original_latents"])        # [T, B, K]
+        logw = np.asarray(out["log_weights"])            # [T, B, K]
+        w = np.exp(logw - logw.max(axis=2, keepdims=True))
+        w /= w.sum(axis=2, keepdims=True)
+        occ = np.stack([(w * (lat == j)).sum(axis=2)
+                        for j in range(D)], axis=-1)     # [T, B, D]
+        for b in range(B):
+            filt, _ = hmm.hmm_forward(np.asarray(obs[:, b]),
+                                      *_oracle_args(comps))
+            err = np.abs(occ[:, b] - filt).max()
+            assert err < 0.05, (b, err)
+
+    def test_bootstrap_agrees_but_noisier(self):
+        comps, obs = _setup()
+        boot, _ = _setup("bootstrap")
+        lz_opt = np.asarray(inference.infer(
+            "smc", obs, *comps, K, key=jax.random.PRNGKey(4),
+            return_log_marginal_likelihood=True)
+            ["log_marginal_likelihood"])
+        lz_boot = np.asarray(inference.infer(
+            "smc", obs, *boot[:3], boot[3], K,
+            key=jax.random.PRNGKey(4),
+            return_log_marginal_likelihood=True)
+            ["log_marginal_likelihood"])
+        for b in range(B):
+            _, exact = hmm.hmm_forward(np.asarray(obs[:, b]),
+                                       *_oracle_args(comps))
+            assert abs(lz_opt[b] - exact) < 0.05
+            assert abs(lz_boot[b] - exact) < 0.6
+
+
+class TestSmoothing:
+    def test_ffbs_matches_forward_backward(self):
+        """FFBS occupancy vs exact smoothed marginals - Categorical
+        pairwise broadcasting through the [B, K, M] tile."""
+        comps, obs = _setup()
+        _, transition, _, _ = comps
+        out = inference.infer(
+            "smc", obs, *comps, 1024, key=jax.random.PRNGKey(5),
+            return_original_latents=True, return_log_weights=True)
+        traj = smoothing.backward_simulation(
+            out["original_latents"], out["log_weights"], transition,
+            600, jax.random.PRNGKey(6), observations=obs)
+        traj = np.asarray(traj)                          # [T, B, M]
+        for b in range(B):
+            gamma = hmm.hmm_smoother(np.asarray(obs[:, b]),
+                                     *_oracle_args(comps))
+            occ = np.stack([(traj[:, b] == j).mean(axis=1)
+                            for j in range(D)], axis=-1)
+            err = np.abs(occ - gamma).max()
+            assert err < 0.08, (b, err)
+
+    def test_rejection_ffbs_with_pmf_bound(self):
+        """Rejection smoothing on a DISCRETE transition via the model's
+        exact pmf bound (Transition.log_bound)."""
+        comps, obs = _setup()
+        _, transition, _, _ = comps
+        out = inference.infer(
+            "smc", obs, *comps, 1024, key=jax.random.PRNGKey(5),
+            return_original_latents=True, return_log_weights=True)
+        traj = smoothing.backward_simulation(
+            out["original_latents"], out["log_weights"], transition,
+            600, jax.random.PRNGKey(6), observations=obs,
+            backward="rejection",
+            transition_log_bound=transition.log_bound)
+        traj = np.asarray(traj)
+        for b in range(B):
+            gamma = hmm.hmm_smoother(np.asarray(obs[:, b]),
+                                     *_oracle_args(comps))
+            occ = np.stack([(traj[:, b] == j).mean(axis=1)
+                            for j in range(D)], axis=-1)
+            err = np.abs(occ - gamma).max()
+            assert err < 0.08, (b, err)
+
+    def test_auto_bound_raises_helpfully_on_categorical(self):
+        import pytest
+        comps, obs = _setup()
+        _, transition, _, _ = comps
+        out = inference.infer(
+            "smc", obs, *comps, 128, key=jax.random.PRNGKey(5),
+            return_original_latents=True, return_log_weights=True)
+        with pytest.raises(TypeError, match="transition_log_bound"):
+            smoothing.backward_simulation(
+                out["original_latents"], out["log_weights"], transition,
+                16, jax.random.PRNGKey(6), observations=obs,
+                backward="rejection")
+
+
+class TestTraining:
+    def test_emission_locs_learnable(self):
+        """Gradient flows through the (continuous) emission density even
+        though latents are discrete and stop-gradiented."""
+        import optax
+        from aesmc_tpu import losses
+
+        comps, obs = _setup()
+        initial, transition, true_emission, prop = comps
+        emission = hmm.Emission(
+            locs=true_emission.locs + jnp.asarray([0.8, -0.6, 0.7]),
+            scale=true_emission.scale)
+
+        def loss_fn(em):
+            return losses.get_loss(obs, 256, "aesmc", initial,
+                                   transition, em, prop, key=KEY)
+
+        opt = optax.adam(5e-2)
+        opt_state = opt.init(emission)
+
+        @jax.jit
+        def step(em, opt_state):
+            loss, g = jax.value_and_grad(loss_fn)(em)
+            updates, opt_state = opt.update(g, opt_state)
+            return optax.apply_updates(em, updates), opt_state, loss
+
+        first = None
+        for _ in range(120):
+            emission, opt_state, loss = step(emission, opt_state)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first - 0.5, (first, float(loss))
+        # The finite-data MLE is not the truth (T=25, B=2); require
+        # clear movement toward it from the [0.8, -0.6, 0.7] offsets.
+        err = np.abs(np.sort(np.asarray(emission.locs)) -
+                     np.sort(np.asarray(true_emission.locs)))
+        assert err.max() < 0.5, err
+        assert err.mean() < 0.25, err

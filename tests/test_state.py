@@ -106,10 +106,23 @@ class TestSample:
         assert state.sample(d, batch_size, num_particles, KEY).shape == \
             (batch_size, num_particles, dim)
 
-    def test_non_reparameterizable_raises(self):
+    def test_non_reparameterizable_samples_without_gradient(self):
+        """DEVIATION from the reference's rsample-only raise: discrete
+        proposals sample under stop_gradient (filtering-valid; train
+        them with gradient_estimator='score')."""
         d = dists.Categorical.from_probs(jnp.asarray([0.5, 0.5]))
-        with pytest.raises(ValueError):
-            state.sample(d, 2, 3, KEY)
+        out = state.sample(d, 2, 3, KEY)
+        assert out.shape == (2, 3)
+        assert jnp.issubdtype(out.dtype, jnp.integer)
+
+        def f(p):
+            # No pathwise gradient may leak through the draw.
+            s = state.sample(dists.Normal(
+                p, 1.0, batch_shape_mode=BatchShapeMode.NOT_EXPANDED,
+                has_rsample=False), 1, 1, KEY)
+            return jnp.sum(s)
+
+        assert float(jax.grad(f)(jnp.asarray(0.5))) == 0.0
 
     def test_raw_array_passthrough(self):
         x = jnp.ones((2, 3))
