@@ -81,6 +81,10 @@ class OnlineFilterState(NamedTuple):
         lag_buffer: `[L, batch, num_particles, ...]` pytree of the last
             L latents, continuously regathered through each step's
             ancestors, or None - carried when `fixed_lag=L > 0`.
+        tau: `[batch, num_particles(, D)]` per-particle PaRIS running
+            statistics, or None - carried when `paris_h` is set
+            (streaming smoothed additive functionals; see
+            `aesmc_tpu.smoothing.paris`).
     """
 
     latent: Any
@@ -91,6 +95,7 @@ class OnlineFilterState(NamedTuple):
     eve: Any = None
     num_events: Any = None
     lag_buffer: Any = None
+    tau: Any = None
 
 
 def log_marginal_likelihood(filter_state: OnlineFilterState) -> jnp.ndarray:
@@ -111,12 +116,15 @@ def effective_sample_size(filter_state: OnlineFilterState) -> jnp.ndarray:
                    jax.nn.logsumexp(2 * lw, axis=-1))
 
 
-def split_step_keys(key, num_timesteps: int):
+def split_step_keys(key, num_timesteps: int, num_streams: int = 2):
     """The batch engine's per-step key layout: `[T, 2]` keys where row t
     holds (resampling key, proposal key) for step t. Feed row 0 to
     `init_fn` and row t to the t-th `step_fn` call to reproduce
-    `infer(key=key)` bit-for-bit."""
-    return jax.random.split(key, (num_timesteps, 2))
+    `infer(key=key)` bit-for-bit. With `num_streams=3` the layout is
+    `smoothing.paris`'s (resampling, proposal, backward-draw) rows -
+    feed those to a `paris_h`-enabled filter to reproduce the offline
+    `paris(key=key)` run."""
+    return jax.random.split(key, (num_timesteps, num_streams))
 
 
 class _CausalObservations:
@@ -137,17 +145,27 @@ class _CausalObservations:
             "not call len(observations) in streaming mode")
 
 
-def _key_pair(key):
-    """Accepts a single PRNG key (split into a (resample, propose) pair)
-    or an explicit pair - row t of `split_step_keys` - for bit-parity
-    with the batch engine. Handles typed keys (shape () / (2,)) and
-    legacy uint32 keys (shape (2,) / (2, 2))."""
+def _key_split(key, n: int):
+    """Accepts a single PRNG key (split into n streams) or an explicit
+    row of n keys - row t of `split_step_keys(..., num_streams=n)` -
+    for bit-parity with the batch engine (n=2) or with the offline
+    `smoothing.paris` key layout (n=3). Handles typed keys (shape () /
+    (n,)) and legacy uint32 keys (shape (2,) / (n, 2))."""
     key = jnp.asarray(key)
     typed = jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
-    if (typed and key.shape == (2,)) or (not typed and key.shape == (2, 2)):
-        return key[0], key[1]
-    pair = jax.random.split(key, 2)
-    return pair[0], pair[1]
+    if (typed and key.shape == (n,)) or (not typed and key.shape == (n, 2)):
+        return tuple(key[i] for i in range(n))
+    if (typed and key.ndim == 1) or (not typed and key.ndim == 2):
+        raise ValueError(
+            f"expected a single PRNG key or a row of {n} keys "
+            f"(split_step_keys(..., num_streams={n})); got shape "
+            f"{key.shape}")
+    ks = jax.random.split(key, n)
+    return tuple(ks[i] for i in range(n))
+
+
+def _key_pair(key):
+    return _key_split(key, 2)
 
 
 def make_online_filter(initial,
@@ -167,6 +185,14 @@ def make_online_filter(initial,
                        return_ancestors: bool = False,
                        track_genealogy: bool = False,
                        fixed_lag: int = 0,
+                       paris_h=None,
+                       paris_h0=None,
+                       paris_num_draws: int = 2,
+                       paris_backward: str = "pairwise",
+                       paris_pairwise: str = "auto",
+                       paris_transition_log_bound=None,
+                       paris_max_rejection_rounds: int = 64,
+                       paris_max_exact_lanes=None,
                        mesh=None,
                        data_axis: str = "data",
                        particle_axis: str = "particle"):
@@ -208,6 +234,22 @@ def make_online_filter(initial,
             work). `info['lag_time'] = t - L` is the time the emission
             refers to; entries with lag_time < 0 are padding (copies of
             x_0). Discrete and soft methods only.
+        paris_h / paris_h0: enable STREAMING PaRIS (Olsson-Westerborn;
+            `aesmc_tpu.smoothing.paris` semantics): the carry gains
+            per-particle running statistics `tau` of the additive
+            functional S = h0(x_0) + sum h(x_{t-1}, x_t, t), updated
+            each step by `paris_num_draws` backward-kernel draws, and
+            the step emits `info['paris_smoothed']` - the CURRENT
+            smoothed estimate E[S | y_{0:t}] with O(1) memory in t.
+            This is online EM / online score estimation in serving
+            form. `paris_backward='rejection'` (with the same
+            bound/rounds/lanes knobs as offline, `paris_*`-prefixed)
+            avoids the O(K^2) pairwise tile at large K and adds
+            `info['paris_accept_rate']` / `info['paris_unconverged']`.
+            For exact agreement with the offline `paris(key=k)` run,
+            feed rows of `split_step_keys(k, T, num_streams=3)`
+            (resample, propose, backward) and keep the default
+            always-resample criterion.
         mesh / data_axis / particle_axis: optional GSPMD sharding
             constraints on the carried latent and weights, as in `infer`.
 
@@ -253,6 +295,21 @@ def make_online_filter(initial,
                 "unavailable")
     if fixed_lag < 0:
         raise ValueError(f"fixed_lag must be >= 0. currently = {fixed_lag}")
+    if paris_h0 is not None and paris_h is None:
+        raise ValueError("paris_h0 requires paris_h")
+    if paris_h is not None:
+        if paris_num_draws < 1:
+            raise ValueError("paris_num_draws must be >= 1. currently = "
+                             f"{paris_num_draws}")
+        if paris_backward not in ("pairwise", "rejection"):
+            raise ValueError("paris_backward must be 'pairwise' or "
+                             f"'rejection'. currently = {paris_backward}")
+        if paris_pairwise not in ("auto", "broadcast", "vmap"):
+            raise ValueError("paris_pairwise must be 'auto', 'broadcast' "
+                             f"or 'vmap'. currently = {paris_pairwise}")
+    # Lazy import (smoothing pulls in tmc; only needed with paris_h).
+    from . import smoothing as _smoothing
+    _paris_mode_cell = [paris_pairwise]
     adaptive = resampling_criterion != "always"
     need_indices = return_ancestors or track_genealogy or fixed_lag > 0
     if adaptive:
@@ -280,7 +337,8 @@ def make_online_filter(initial,
         branches resolve statically)."""
         observation = jax.tree_util.tree_map(jnp.asarray, observation)
         batch_size = jax.tree_util.tree_leaves(observation)[0].shape[0]
-        _, propose_key = _key_pair(key)
+        propose_key = (_key_split(key, 3)[1] if paris_h is not None
+                       else _key_pair(key)[1])
         obs_view = _CausalObservations(observation)
         proposal_dist = proposal(time=0, observations=obs_view)
         latent_0 = _constrain(state.sample(proposal_dist, batch_size,
@@ -301,6 +359,17 @@ def make_online_filter(initial,
         lag_buffer = (jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (fixed_lag,) + x.shape),
             latent_0) if fixed_lag > 0 else None)
+        if paris_h is not None:
+            # copy=True: h0 like `lambda x0: x0` would otherwise make
+            # tau ALIAS the latent buffer, and a donated carry
+            # (jit(step_fn, donate_argnums=0)) then donates the same
+            # buffer twice - a runtime error.
+            tau = (jnp.array(paris_h0(latent_0), copy=True)
+                   if paris_h0 is not None
+                   else jnp.zeros((batch_size, num_particles),
+                                  log_weight_0.dtype))
+        else:
+            tau = None
         return OnlineFilterState(
             latent=latent_0,
             log_weight=log_weight_0,
@@ -309,7 +378,8 @@ def make_online_filter(initial,
             t=jnp.asarray(1, jnp.int32),
             eve=eve,
             num_events=num_events,
-            lag_buffer=lag_buffer)
+            lag_buffer=lag_buffer,
+            tau=tau)
 
     def step_fn(filter_state, observation, key):
         """Consumes one observation y_t (t >= 1); one filter update."""
@@ -317,7 +387,10 @@ def make_online_filter(initial,
         prev_latent = filter_state.latent
         prev_log_weight = filter_state.log_weight
         batch_size, _ = prev_log_weight.shape
-        resample_key, propose_key = _key_pair(key)
+        if paris_h is not None:
+            resample_key, propose_key, backward_key = _key_split(key, 3)
+        else:
+            resample_key, propose_key = _key_pair(key)
         time = TimeIndex(filter_state.t)
         obs_view = _CausalObservations(observation)
         prev_obs_list = [filter_state.prev_observation]
@@ -461,6 +534,26 @@ def make_online_filter(initial,
         else:
             eve = num_events = None
 
+        if paris_h is not None:
+            if _paris_mode_cell[0] == "auto":
+                # Trace-time resolve; safe here (no checkpoint'd scan
+                # body around step_fn itself).
+                _paris_mode_cell[0] = _smoothing._resolve_pairwise_mode(
+                    transition, prev_latent,
+                    filter_state.prev_observation)
+            # PaRIS statistic update over PRE-resampling parents (the
+            # backward kernel reads prev weights/particles, independent
+            # of how the filter advanced).
+            tau, paris_acc, paris_unconv = \
+                _smoothing._paris_backward_update(
+                    backward_key, prev_latent, prev_log_weight, latent_t,
+                    filter_state.tau, transition, time, prev_obs_list,
+                    paris_h, paris_num_draws, paris_backward,
+                    _paris_mode_cell[0], paris_transition_log_bound,
+                    paris_max_rejection_rounds, paris_max_exact_lanes)
+        else:
+            tau = None
+
         if fixed_lag > 0:
             # Regather the whole buffer with this step's ancestors (the
             # repeated regather composes ancestry, so buffer[0] is
@@ -490,12 +583,19 @@ def make_online_filter(initial,
             t=filter_state.t + 1,
             eve=eve,
             num_events=num_events,
-            lag_buffer=lag_buffer)
+            lag_buffer=lag_buffer,
+            tau=tau)
         info = {
             "log_pred": log_marginal_likelihood(new_state) - log_pred_base,
             "ess": pre_ess,
             "resampled": did_resample,
         }
+        if paris_h is not None:
+            w = jax.nn.softmax(log_weight_t, axis=1)
+            info["paris_smoothed"] = jnp.einsum("bk,bk...->b...", w, tau)
+            if paris_backward == "rejection":
+                info["paris_accept_rate"] = paris_acc
+                info["paris_unconverged"] = paris_unconv
         if fixed_lag > 0:
             info["lagged_latent"] = lagged_latent
             info["lag_time"] = filter_state.t - fixed_lag

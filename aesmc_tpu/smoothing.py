@@ -198,9 +198,14 @@ def _rejection_backward_indices(key, prev_latent, prev_log_weight,
         lambda a, v: jnp.searchsorted(a, v, side="right"))
 
     if max_exact_lanes is None:
-        # Auto: enough to absorb a whole low-acceptance step (weight-
-        # degenerate filters can strand hundreds of lanes at one t).
-        lanes = min(c * n, max(128, (c * n) // 8))
+        # Auto: absorb up to 1/8 of the lanes (weight-degenerate
+        # filters can strand hundreds at one step), but cap the
+        # fallback's K*L pointwise-eval cost at ~2^26 so rejection
+        # stays O(K) compute at large K (at the cap, stragglers beyond
+        # L keep the biased last proposal and are REPORTED via the
+        # unconverged diagnostic).
+        lanes = min(c * n,
+                    max(128, min((c * n) // 8, (1 << 26) // max(k, 1))))
     else:
         lanes = min(int(max_exact_lanes), c * n)
 
@@ -261,6 +266,94 @@ def _rejection_backward_indices(key, prev_latent, prev_log_weight,
 
     unconverged = jnp.sum(jnp.logical_not(accepted), axis=1)
     return (idx.reshape(batch_size, c, n), accept_rate, unconverged)
+
+
+def _resolve_pairwise_mode(transition, latent, obs_prev, time_value=1):
+    """Trace-time probe: 'broadcast' if the transition accepts
+    `[B, K, 1]` parents (arithmetic transitions), else 'vmap'. Run
+    OUTSIDE any `jax.checkpoint`'d scan body (probes inside one survive
+    DCE - the measured round-3 trap; see aesmc_tpu/tmc.py)."""
+    def _probe(lat, obs0):
+        time = TimeIndex(jnp.asarray(time_value, jnp.int32))
+        dist = transition(previous_latents=[_expand_prev(lat)],
+                          time=time, previous_observations=[obs0])
+        return _pairwise_log_prob(
+            dist, _expand_new(jax.tree_util.tree_map(
+                lambda v: v[:, :1], lat)))
+    try:
+        jax.eval_shape(_probe, latent, obs_prev)
+        return "broadcast"
+    except Exception:
+        return "vmap"
+
+
+def _paris_backward_update(key, prev_latent, prev_log_weight, latent_t,
+                           tau, transition, time, prev_obs_list, h,
+                           num_backward_draws, backward,
+                           resolved_pairwise, transition_log_bound,
+                           max_rejection_rounds, max_exact_lanes):
+    """One PaRIS statistic update: N backward-kernel parent draws per
+    child, tau_t^i = mean_n [ tau^{J_n} + h(x_{t-1}^{J_n}, x_t^i, t) ].
+
+    Shared by the offline scan (`paris`) and the streaming filter
+    (`aesmc_tpu.online`). Returns (tau_t, accept_rate `[B]`,
+    unconverged `[B]`) - the diagnostics are all-ones/zeros in
+    pairwise mode.
+    """
+    batch_size = prev_log_weight.shape[0]
+    if backward == "rejection":
+        log_bound = (
+            transition_log_bound(prev_latent, time, prev_obs_list)
+            if transition_log_bound is not None else
+            _auto_log_bound(transition, prev_latent, time,
+                            prev_obs_list))
+        j_all, acc_rate, unconv = _rejection_backward_indices(
+            key, prev_latent, prev_log_weight, latent_t, transition,
+            time, prev_obs_list, num_backward_draws, log_bound,
+            max_rejection_rounds, max_exact_lanes)        # [B, K, N]
+    else:
+        # Exact categorical from the [B, Ki, Kj] pairwise tile:
+        # logits[b, i_child, j_parent]
+        #   = log w_{t-1}^j + log p(x_t^i | x_{t-1}^j).
+        if resolved_pairwise == "broadcast":
+            pair_dist = transition(
+                previous_latents=[_expand_prev(prev_latent)],
+                time=time, previous_observations=prev_obs_list)
+            a = _pairwise_log_prob(pair_dist, _expand_new(latent_t))
+        else:
+            def per_parent(parent):
+                parent1 = jax.tree_util.tree_map(
+                    lambda x: x[:, None], parent)
+                dist = transition(previous_latents=[parent1],
+                                  time=time,
+                                  previous_observations=prev_obs_list)
+                return state.log_prob(dist, latent_t)        # [B, K]
+            a = jax.vmap(per_parent, in_axes=1,
+                         out_axes=1)(prev_latent)
+        # a[b, j_parent, i_child] -> transpose to child-major.
+        logits = (jnp.swapaxes(a, 1, 2) +
+                  prev_log_weight[:, None, :])               # [B, Ki, Kj]
+        draw_keys = jax.random.split(key, num_backward_draws)
+        j_all = jnp.stack(
+            [jax.random.categorical(draw_keys[n], logits, axis=-1)
+             for n in range(num_backward_draws)], axis=-1)
+        acc_rate = jnp.ones((batch_size,), prev_log_weight.dtype)
+        unconv = jnp.zeros((batch_size,), jnp.int32)
+
+    acc = None
+    for n in range(num_backward_draws):
+        j_idx = j_all[..., n]                                # [B, K]
+        tau_j = jnp.take_along_axis(
+            tau, j_idx.reshape(j_idx.shape + (1,) * (tau.ndim - 2)),
+            axis=1)
+        parent_j = jax.tree_util.tree_map(
+            lambda x: jnp.take_along_axis(
+                x, j_idx.reshape(j_idx.shape + (1,) * (x.ndim - 2)),
+                axis=1),
+            prev_latent)
+        term = tau_j + jnp.asarray(h(parent_j, latent_t, time))
+        acc = term if acc is None else acc + term
+    return acc / num_backward_draws, acc_rate, unconv
 
 
 def backward_simulation(original_latents, log_weights, transition,
@@ -507,23 +600,12 @@ def paris(observations, initial, transition, emission, proposal,
                 (batch_size,), jnp.int32)
         return out
 
-    # Resolve 'auto' ONCE, outside the scan, with jax.eval_shape (an
-    # in-body probe would survive DCE under jax.checkpoint - the
-    # measured round-3 trap; see aesmc_tpu/tmc.py).
+    # Resolve 'auto' ONCE, outside the scan (an in-body probe would
+    # survive DCE under jax.checkpoint - the measured round-3 trap).
     resolved_pairwise = pairwise
     if resolved_pairwise == "auto":
-        def _probe(lat, obs0):
-            time = TimeIndex(jnp.asarray(1, jnp.int32))
-            dist = transition(previous_latents=[_expand_prev(lat)],
-                              time=time, previous_observations=[obs0])
-            return _pairwise_log_prob(
-                dist, _expand_new(jax.tree_util.tree_map(
-                    lambda v: v[:, :1], lat)))
-        try:
-            jax.eval_shape(_probe, latent_0, obs_seq[0])
-            resolved_pairwise = "broadcast"
-        except Exception:
-            resolved_pairwise = "vmap"
+        resolved_pairwise = _resolve_pairwise_mode(transition, latent_0,
+                                                   obs_seq[0])
 
     def step(carry, inputs):
         prev_latent, prev_log_weight, tau = carry
@@ -554,63 +636,11 @@ def paris(observations, initial, transition, emission, proposal,
 
         # Backward-kernel draws over PRE-resampling parents:
         # J ~ Categorical_j( w_{t-1}^j * p(x_t^i | x_{t-1}^j) ).
-        if backward == "rejection":
-            # O(K * N) per round: propose from the filter weights,
-            # accept against the transition-density bound - no
-            # [B, K, K] tile (Douc et al. 2011).
-            log_bound = (
-                transition_log_bound(prev_latent, time, prev_obs_list)
-                if transition_log_bound is not None else
-                _auto_log_bound(transition, prev_latent, time,
-                                prev_obs_list))
-            j_all, acc_rate, unconv = _rejection_backward_indices(
-                keys_t[2], prev_latent, prev_log_weight, latent_t,
-                transition, time, prev_obs_list, num_backward_draws,
-                log_bound, max_rejection_rounds,
-                max_exact_lanes)                      # [B, K, N]
-        else:
-            # Exact categorical from the [B, Ki, Kj] pairwise tile:
-            # logits[b, i_child, j_parent]
-            #   = log w_{t-1}^j + log p(x_t^i | x_{t-1}^j).
-            if resolved_pairwise == "broadcast":
-                pair_dist = transition(
-                    previous_latents=[_expand_prev(prev_latent)],
-                    time=time, previous_observations=prev_obs_list)
-                a = _pairwise_log_prob(pair_dist, _expand_new(latent_t))
-            else:
-                def per_parent(parent):
-                    parent1 = jax.tree_util.tree_map(
-                        lambda x: x[:, None], parent)
-                    dist = transition(previous_latents=[parent1],
-                                      time=time,
-                                      previous_observations=prev_obs_list)
-                    return state.log_prob(dist, latent_t)    # [B, K]
-                a = jax.vmap(per_parent, in_axes=1,
-                             out_axes=1)(prev_latent)
-            # a[b, j_parent, i_child] -> transpose to child-major.
-            logits = (jnp.swapaxes(a, 1, 2) +
-                      prev_log_weight[:, None, :])           # [B, Ki, Kj]
-            draw_keys = jax.random.split(keys_t[2], num_backward_draws)
-            j_all = jnp.stack(
-                [jax.random.categorical(draw_keys[n], logits, axis=-1)
-                 for n in range(num_backward_draws)], axis=-1)
-            acc_rate = jnp.ones((batch_size,), log_weight_t.dtype)
-            unconv = jnp.zeros((batch_size,), jnp.int32)
-
-        acc = None
-        for n in range(num_backward_draws):
-            j_idx = j_all[..., n]                            # [B, K]
-            tau_j = jnp.take_along_axis(
-                tau, j_idx.reshape(j_idx.shape + (1,) * (tau.ndim - 2)),
-                axis=1)
-            parent_j = jax.tree_util.tree_map(
-                lambda x: jnp.take_along_axis(
-                    x, j_idx.reshape(j_idx.shape + (1,) * (x.ndim - 2)),
-                    axis=1),
-                prev_latent)
-            term = tau_j + jnp.asarray(h(parent_j, latent_t, time))
-            acc = term if acc is None else acc + term
-        tau_t = acc / num_backward_draws
+        tau_t, acc_rate, unconv = _paris_backward_update(
+            keys_t[2], prev_latent, prev_log_weight, latent_t, tau,
+            transition, time, prev_obs_list, h, num_backward_draws,
+            backward, resolved_pairwise, transition_log_bound,
+            max_rejection_rounds, max_exact_lanes)
 
         return (latent_t, log_weight_t, tau_t), (contribution, acc_rate,
                                                  unconv)

@@ -24,11 +24,18 @@ win per member in high dimension).
   PYTHONPATH=/root/repo python examples/lorenz_assimilation.py
 """
 
+import os
 import pathlib
 import sys
 
 import jax
 
+# CPU by default: the N=20 ensemble rows are [8, 8]/[20, 20] matrix math
+# - the measured tiny-matrix TPU trap (per-particle small linear algebra
+# serializes on v5e; see CLAUDE.md / BENCH_NOTES "tiny-Cholesky TPU
+# trap"). The PF rows have TPU bench coverage in bench_extended.py.
+if not os.environ.get("AESMC_EXAMPLE_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

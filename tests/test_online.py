@@ -416,3 +416,116 @@ class TestValidation:
         view = online._CausalObservations(jnp.zeros((3,)))
         with pytest.raises(TypeError, match="len"):
             len(view)
+
+
+class TestStreamingParis:
+    """paris_h: streaming PaRIS == offline smoothing.paris under the
+    shared (resample, propose, backward) key layout."""
+
+    def _run(self, obs, key, **kwargs):
+        init_fn, step_fn = online.make_online_filter(
+            *_components(), K, paris_h=lambda xp, xc, t: xc,
+            paris_h0=lambda x0: x0, **kwargs)
+        step_keys = online.split_step_keys(key, T, num_streams=3)
+        fs = init_fn(obs[0], step_keys[0])
+        infos = []
+        for t in range(1, T):
+            fs, info = step_fn(fs, obs[t], step_keys[t])
+            infos.append(info)
+        return fs, infos
+
+    def test_matches_offline_paris(self):
+        from aesmc_tpu import smoothing
+        obs = _observations()
+        ref = smoothing.paris(obs, *_components(), K,
+                              h=lambda xp, xc, t: xc,
+                              h0=lambda x0: x0, key=KEY)
+        fs, infos = self._run(obs, KEY)
+        np.testing.assert_allclose(np.asarray(fs.tau),
+                                   np.asarray(ref["tau"]),
+                                   rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(infos[-1]["paris_smoothed"]),
+            np.asarray(ref["smoothed"]), rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs)),
+            np.asarray(ref["log_marginal_likelihood"]),
+            rtol=2e-6, atol=1e-4)
+
+    def test_matches_offline_paris_rejection(self):
+        from aesmc_tpu import smoothing
+        obs = _observations()
+        ref = smoothing.paris(obs, *_components(), K,
+                              h=lambda xp, xc, t: xc,
+                              h0=lambda x0: x0, key=KEY,
+                              backward="rejection")
+        fs, infos = self._run(obs, KEY, paris_backward="rejection")
+        np.testing.assert_allclose(np.asarray(fs.tau),
+                                   np.asarray(ref["tau"]),
+                                   rtol=2e-5, atol=1e-4)
+        assert int(np.asarray(
+            infos[-1]["paris_unconverged"]).sum()) == 0
+        total_unconv = sum(int(np.asarray(i["paris_unconverged"]).sum())
+                           for i in infos)
+        assert total_unconv == int(np.asarray(
+            ref["backward_unconverged"]).sum())
+
+    def test_jitted_step_carries_tau(self):
+        obs = _observations()
+        init_fn, step_fn = online.make_online_filter(
+            *_components(), K, paris_h=lambda xp, xc, t: xp * xc)
+        jstep = jax.jit(step_fn)
+        step_keys = online.split_step_keys(KEY, T, num_streams=3)
+        fs = init_fn(obs[0], step_keys[0])
+        assert fs.tau.shape == (B, K)   # zeros: no h0
+        for t in range(1, 4):
+            fs, info = jstep(fs, obs[t], step_keys[t])
+        assert info["paris_smoothed"].shape == (B,)
+        assert np.all(np.isfinite(np.asarray(info["paris_smoothed"])))
+
+    def test_donated_carry_with_identity_h0(self):
+        """h0 = identity must not alias tau onto the latent buffer
+        (donated carries would donate one buffer twice)."""
+        obs = _observations()
+        init_fn, step_fn = online.make_online_filter(
+            *_components(), K, paris_h=lambda xp, xc, t: xc,
+            paris_h0=lambda x0: x0)
+        jstep = jax.jit(step_fn, donate_argnums=0)
+        step_keys = online.split_step_keys(KEY, T, num_streams=3)
+        fs = init_fn(obs[0], step_keys[0])
+        assert fs.tau.shape == (B, K)
+        for t in range(1, 4):
+            fs, info = jstep(fs, obs[t], step_keys[t])
+        assert info["paris_smoothed"].shape == (B,)
+        assert np.all(np.isfinite(np.asarray(info["paris_smoothed"])))
+
+    def test_single_key_mode_works(self):
+        obs = _observations()
+        fs, infos = self._run(obs, KEY)  # 3-row keys
+        init_fn, step_fn = online.make_online_filter(
+            *_components(), K, paris_h=lambda xp, xc, t: xc,
+            paris_h0=lambda x0: x0)
+        fs1 = init_fn(obs[0], jax.random.PRNGKey(0))
+        fs1, info = step_fn(fs1, obs[1], jax.random.PRNGKey(1))
+        assert np.all(np.isfinite(np.asarray(info["paris_smoothed"])))
+
+    def test_wrong_row_width_raises(self):
+        obs = _observations()
+        init_fn, step_fn = online.make_online_filter(
+            *_components(), K, paris_h=lambda xp, xc, t: xc)
+        two_row = online.split_step_keys(KEY, T)  # width 2
+        with pytest.raises(ValueError, match="num_streams=3"):
+            init_fn(obs[0], two_row[0])
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="paris_h0 requires"):
+            online.make_online_filter(*_components(), K,
+                                      paris_h0=lambda x0: x0)
+        with pytest.raises(ValueError, match="paris_num_draws"):
+            online.make_online_filter(*_components(), K,
+                                      paris_h=lambda xp, xc, t: xc,
+                                      paris_num_draws=0)
+        with pytest.raises(ValueError, match="paris_backward"):
+            online.make_online_filter(*_components(), K,
+                                      paris_h=lambda xp, xc, t: xc,
+                                      paris_backward="bogus")
