@@ -14,6 +14,7 @@ from . import checkpoint
 from . import csmc
 from . import distributions
 from . import enkf
+from . import forecast
 from . import gradients
 from . import if2
 from . import inference
@@ -39,7 +40,8 @@ from . import utils
 from . import variance
 
 __all__ = [
-    "blockpf", "checkpoint", "csmc", "distributions", "enkf", "gradients",
+    "blockpf", "checkpoint", "csmc", "distributions", "enkf",
+    "forecast", "gradients",
     "if2", "inference",
     "losses", "math", "models", "online", "ot", "parallel", "profiling",
     "proposals", "rbpf", "resampling", "samplers", "smc2", "smoothing",
