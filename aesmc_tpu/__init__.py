@@ -27,6 +27,7 @@ from . import parallel
 from . import profiling
 from . import proposals
 from . import rbpf
+from . import resample_move
 from . import resampling
 from . import samplers
 from . import smc2
@@ -44,7 +45,7 @@ __all__ = [
     "forecast", "gradients",
     "if2", "inference",
     "losses", "math", "models", "online", "ot", "parallel", "profiling",
-    "proposals", "rbpf", "resampling", "samplers", "smc2", "smoothing",
+    "proposals", "rbpf", "resample_move", "resampling", "samplers", "smc2", "smoothing",
     "sqmc",
     "state", "statistics", "tmc", "train", "utils", "variance",
     "__version__",

@@ -22,12 +22,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# Persistent compilation cache across pytest runs.
-_cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
-_cache_dir.mkdir(exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# Persistent compilation cache across pytest runs. AESMC_NO_CACHE=1
+# disables it: cache entries are XLA:CPU AOT artifacts tied to the CPU
+# features of the machine that wrote them - loading entries written by
+# a different host can SIGILL/SEGV (the cpu_aot_loader warning), which
+# this box's rotating VM hosts actually hit.
+if not os.environ.get("AESMC_NO_CACHE"):
+    _cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+    _cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 assert jax.device_count() >= 8, (
     "tests expect 8 virtual CPU devices; got "

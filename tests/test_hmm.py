@@ -186,3 +186,20 @@ class TestTraining:
                      np.sort(np.asarray(true_emission.locs)))
         assert err.max() < 0.5, err
         assert err.mean() < 0.25, err
+
+
+class TestTMC:
+    def test_tmc_log_z_tighter_than_smc(self):
+        """TMC on the DISCRETE transition (Categorical pairwise
+        broadcasting): the all-K^T-path estimator matches the exact
+        forward log-likelihood at least as tightly as SMC at equal K."""
+        from aesmc_tpu import tmc
+
+        comps, obs = _setup()
+        out = tmc.tmc_log_marginal_likelihood(
+            obs, *comps, 256, key=jax.random.PRNGKey(21))
+        lz = np.asarray(out)
+        for b in range(B):
+            _, exact = hmm.hmm_forward(np.asarray(obs[:, b]),
+                                       *_oracle_args(comps))
+            assert abs(lz[b] - exact) < 0.1, (b, lz[b], exact)
