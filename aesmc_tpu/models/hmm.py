@@ -241,3 +241,25 @@ def hmm_smoother(obs, initial_logits, transition_logits, locs, scale):
             log_a + (log_b[t + 1] + log_beta[t + 1])[None, :], axis=1)
     log_gamma = log_alpha + log_beta
     return np.exp(log_gamma - _logsumexp(log_gamma, axis=1)[:, None])
+
+
+def hmm_viterbi(obs, initial_logits, transition_logits, locs, scale):
+    """Exact MAP state path (Viterbi) for ONE sequence. Returns
+    (`[T]` int path, float joint log-probability of the path)."""
+    log_pi = np.asarray(jax.nn.log_softmax(jnp.asarray(initial_logits)),
+                        dtype=np.float64)
+    log_a = np.asarray(jax.nn.log_softmax(jnp.asarray(transition_logits),
+                                          axis=-1), dtype=np.float64)
+    log_b = _log_emission_matrix(obs, locs, scale)            # [T, D]
+    t_len, d = log_b.shape
+    delta = log_pi + log_b[0]
+    back = np.zeros((t_len, d), dtype=np.int64)
+    for t in range(1, t_len):
+        scores = delta[:, None] + log_a                       # [D, D]
+        back[t] = np.argmax(scores, axis=0)
+        delta = scores[back[t], np.arange(d)] + log_b[t]
+    path = np.zeros(t_len, dtype=np.int64)
+    path[-1] = int(np.argmax(delta))
+    for t in range(t_len - 2, -1, -1):
+        path[t] = back[t + 1][path[t + 1]]
+    return path, float(np.max(delta))

@@ -22,12 +22,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# Persistent compilation cache across pytest runs. AESMC_NO_CACHE=1
-# disables it: cache entries are XLA:CPU AOT artifacts tied to the CPU
-# features of the machine that wrote them - loading entries written by
-# a different host can SIGILL/SEGV (the cpu_aot_loader warning), which
-# this box's rotating VM hosts actually hit.
-if not os.environ.get("AESMC_NO_CACHE"):
+# Persistent compilation cache: OPT-IN via AESMC_CACHE=1. Disabled by
+# default since round 3: on this box's rotating VM hosts the XLA:CPU
+# AOT serialize/deserialize path segfaulted the full suite four times -
+# at cache READ (stale entries from a different-featured host; the
+# cpu_aot_loader SIGILL warning), at compile+load, and at cache WRITE
+# (serializing a freshly built executable) even with a fresh cache.
+# The cache saves ~half the suite wall-clock when it works; a segfault
+# costs the whole run.
+if os.environ.get("AESMC_CACHE"):
     _cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
     _cache_dir.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(_cache_dir))

@@ -203,3 +203,34 @@ class TestTMC:
             _, exact = hmm.hmm_forward(np.asarray(obs[:, b]),
                                        *_oracle_args(comps))
             assert abs(lz[b] - exact) < 0.1, (b, lz[b], exact)
+
+
+class TestViterbi:
+    def test_matches_brute_force_enumeration(self):
+        """Exact check: Viterbi path == argmax over ALL D^T joint paths
+        (D=3, T=8 -> 6561 paths enumerated in f64)."""
+        import itertools
+
+        comps, _ = _setup()
+        t_short = 8
+        _, obs = statistics.sample_from_prior(
+            comps[0], comps[1], comps[2], t_short, 1,
+            key=jax.random.PRNGKey(33))
+        args = _oracle_args(comps)
+        path, logp = hmm.hmm_viterbi(np.asarray(obs[:, 0]), *args)
+
+        log_pi = np.asarray(jax.nn.log_softmax(jnp.asarray(args[0])),
+                            dtype=np.float64)
+        log_a = np.asarray(jax.nn.log_softmax(jnp.asarray(args[1]),
+                                              axis=-1), dtype=np.float64)
+        log_b = hmm._log_emission_matrix(np.asarray(obs[:, 0]), args[2],
+                                         args[3])
+        best_lp, best_path = -np.inf, None
+        for cand in itertools.product(range(D), repeat=t_short):
+            lp = log_pi[cand[0]] + log_b[0, cand[0]]
+            for t in range(1, t_short):
+                lp += log_a[cand[t - 1], cand[t]] + log_b[t, cand[t]]
+            if lp > best_lp:
+                best_lp, best_path = lp, cand
+        assert tuple(path) == best_path, (tuple(path), best_path)
+        assert abs(logp - best_lp) < 1e-9
