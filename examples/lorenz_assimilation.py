@@ -36,9 +36,8 @@ import jax
 # trap"). The PF rows have TPU bench coverage in bench_extended.py.
 if not os.environ.get("AESMC_EXAMPLE_TPU"):
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# No persistent cache on the CPU path: the root .jax_cache holds
+# XLA:CPU AOT entries from rotated hosts (see CLAUDE.md cache hazard).
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
