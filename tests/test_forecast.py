@@ -1,6 +1,8 @@
 """Predictive forecasting (aesmc_tpu.forecast) vs exact Kalman
 predictive moments, plus PIT calibration on on-model data."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +35,7 @@ def _params():
     return kalman.KalmanParams(0.0, 1.0, A, 0.0, Q, EM, 0.0, R0)
 
 
+@functools.lru_cache(maxsize=1)
 def _filter_cloud():
     comps = _components()
     _, obs = statistics.sample_from_prior(comps[0], comps[1], comps[2],

@@ -5,6 +5,8 @@ proposal sampling, integer-particle resampling gather, Categorical
 pairwise broadcasting in FFBS, and user-supplied rejection bounds.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +18,7 @@ KEY = jax.random.PRNGKey(0)
 D, T, B, K = 3, 25, 2, 2048
 
 
+@functools.lru_cache(maxsize=2)
 def _setup(proposal="optimal"):
     comps = hmm.make_model(num_states=D, emission_scale=0.6,
                            stay_prob=0.85, proposal=proposal)
