@@ -74,6 +74,8 @@ def resample_move_filter(observations, initial, transition, emission,
                          proposal, num_particles: int, key=None,
                          num_move_steps: int = 2,
                          move_scale: float = 0.5,
+                         target_acceptance=None,
+                         adaptation_gain: float = 0.5,
                          resampling_method: str = "systematic",
                          resampling_implementation="auto",
                          return_latents: bool = True,
@@ -88,6 +90,15 @@ def resample_move_filter(observations, initial, transition, emission,
         num_move_steps: MH steps per filter step (0 = plain SMC).
         move_scale: dimensionless RW scale, multiplied by the weighted
             per-dimension std of the current cloud.
+        target_acceptance: optional acceptance target in (0, 1) (0.44
+            is the 1-D optimum, 0.234 high-dim): a per-batch-row
+            log-scale multiplier is Robbins-Monro-updated after every
+            step, `log_mult += gain * (rate - target)` - diminishing
+            per-step influence relative to the growing trajectory, the
+            standard adaptive-MCMC recipe; MH is valid at ANY scale so
+            invariance is untouched.
+        adaptation_gain: the Robbins-Monro gain (only with
+            `target_acceptance`).
         resampling_method / resampling_implementation: as in `infer`.
         return_latents: include filtered latents `[T, B, K, ...]`.
 
@@ -140,10 +151,14 @@ def resample_move_filter(observations, initial, transition, emission,
         return trans_lp + emis_lp
 
     def mh_move(key, head, parent, log_weight_for_scale, time_head,
-                obs_head, prev_obs_head):
+                obs_head, prev_obs_head, log_scale_mult=None):
         """num_move_steps RW-MH steps on `head`; returns (head, rate)."""
+        mult = (jnp.exp(log_scale_mult)[:, None]
+                if log_scale_mult is not None else 1.0)
         scale = jax.tree_util.tree_map(
-            lambda s: move_scale * s,
+            lambda s: move_scale * (
+                s * mult.reshape(mult.shape + (1,) * (s.ndim - 2))
+                if log_scale_mult is not None else s),
             _weighted_std(head, log_weight_for_scale))
         lp = head_log_target(head, parent, time_head, obs_head,
                              prev_obs_head)
@@ -178,8 +193,14 @@ def resample_move_filter(observations, initial, transition, emission,
             log_weight_0, step_keys[1, 0], latent_0,
             method=resampling_method, implementation=resolved_impl,
             need_indices=False)
+        log_mult_0 = jnp.zeros((batch_size,),
+                               log_weight_0.dtype)
         moved_0, rate_1 = mh_move(step_keys[1, 1], resampled_0, None,
-                                  log_weight_0, None, obs_seq[0], None)
+                                  log_weight_0, None, obs_seq[0], None,
+                                  log_mult_0)
+        if target_acceptance is not None:
+            log_mult_0 = log_mult_0 + adaptation_gain * (
+                rate_1 - target_acceptance)
         contribution_1 = jax.nn.logsumexp(log_weight_0, axis=1) - log_k
         proposal_dist = proposal(previous_latents=[moved_0], time=time_1,
                                  observations=obs_seq)
@@ -207,7 +228,7 @@ def resample_move_filter(observations, initial, transition, emission,
         return out
 
     def step(carry, inputs):
-        parent, latent, log_weight, log_z = carry
+        parent, latent, log_weight, log_z, log_mult = carry
         obs_t, obs_prev, obs_prev2, t, keys_t = inputs
         time = TimeIndex(t)
         time_prev = TimeIndex(t - 1)
@@ -222,7 +243,11 @@ def resample_move_filter(observations, initial, transition, emission,
 
         # 2. move the head x_{t-1} | x_{t-2}, y_{t-1}.
         moved, rate = mh_move(keys_t[1], res_head, res_parent,
-                              log_weight, time_prev, obs_prev, obs_prev2)
+                              log_weight, time_prev, obs_prev, obs_prev2,
+                              log_mult)
+        if target_acceptance is not None:
+            log_mult = log_mult + adaptation_gain * (
+                rate - target_acceptance)
 
         # 3. propose x_t and weight.
         proposal_dist = proposal(previous_latents=[moved], time=time,
@@ -237,7 +262,7 @@ def resample_move_filter(observations, initial, transition, emission,
                          previous_observations=[obs_prev]),
                 state.expand_observation(obs_t, k)) -
             state.log_prob(proposal_dist, latent_t))
-        return ((moved, latent_t, log_weight_t, log_z),
+        return ((moved, latent_t, log_weight_t, log_z, log_mult),
                 (latent_t if return_latents else None, rate))
 
     if num_timesteps > 2:
@@ -245,8 +270,9 @@ def resample_move_filter(observations, initial, transition, emission,
         prev_obs = jax.tree_util.tree_map(lambda x: x[1:-1], stacked_obs)
         prev2_obs = jax.tree_util.tree_map(lambda x: x[:-2], stacked_obs)
         times = jnp.arange(2, num_timesteps, dtype=jnp.int32)
-        carry0 = (moved_0, latent_1, log_weight_1, contribution_1)
-        (last_parent, last_latent, last_log_weight, log_z), \
+        carry0 = (moved_0, latent_1, log_weight_1, contribution_1,
+                  log_mult_0)
+        (last_parent, last_latent, last_log_weight, log_z, _), \
             (rest_latents, rates) = jax.lax.scan(
                 step, carry0,
                 (rest_obs, prev_obs, prev2_obs, times, step_keys[2:]),

@@ -220,3 +220,40 @@ class TestStructure:
         with pytest.raises(ValueError, match="num_move_steps"):
             resample_move.resample_move_filter(
                 obs, *comps, 8, num_move_steps=-1)
+
+
+class TestAdaptiveScale:
+    def test_acceptance_steers_toward_target(self):
+        """target_acceptance=0.234: the fixed bandwidth measures ~0.86
+        acceptance in the slow-mixing regime; adaptation must drive
+        late-step acceptance toward the target."""
+        a_s, q_s = 1.0, 0.01
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(a_s, np.sqrt(q_s))
+        emission = lgssm.Emission.create(EM, np.sqrt(R0))
+
+        class Bootstrap:
+            def __call__(self, previous_latents=None, time=None,
+                         observations=None):
+                if time == 0:
+                    return initial()
+                return transition(previous_latents=previous_latents,
+                                  time=time)
+
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, 40, B, jax.random.PRNGKey(11))
+        fixed = resample_move.resample_move_filter(
+            obs, initial, transition, emission, Bootstrap(), 64,
+            key=jax.random.PRNGKey(9), num_move_steps=2)
+        adapted = resample_move.resample_move_filter(
+            obs, initial, transition, emission, Bootstrap(), 64,
+            key=jax.random.PRNGKey(9), num_move_steps=2,
+            target_acceptance=0.234)
+        late_fixed = float(np.asarray(
+            fixed["acceptance_rate"])[-10:].mean())
+        late_adapted = float(np.asarray(
+            adapted["acceptance_rate"])[-10:].mean())
+        assert late_fixed > 0.6, late_fixed
+        assert abs(late_adapted - 0.234) < 0.15, late_adapted
+        assert np.all(np.isfinite(np.asarray(
+            adapted["log_marginal_likelihood"])))
