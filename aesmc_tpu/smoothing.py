@@ -176,7 +176,6 @@ def _rejection_backward_indices(key, prev_latent, prev_log_weight,
     """
     batch_size, c = _first_leaf(children).shape[:2]
     n = num_draws
-    flat = batch_size  # alias for readability in shapes below
     w = jax.nn.softmax(prev_log_weight, axis=1)
     cdf = jnp.cumsum(w, axis=1)                               # [B, K]
     k = cdf.shape[1]
@@ -219,11 +218,11 @@ def _rejection_backward_indices(key, prev_latent, prev_log_weight,
     def body(carry):
         key, idx, accepted, rounds = carry
         key, k1, k2 = jax.random.split(key, 3)
-        u_sel = jax.random.uniform(k1, (flat, c * n))
+        u_sel = jax.random.uniform(k1, (batch_size, c * n))
         j_cand = jnp.clip(searchsorted_rows(cdf, u_sel), 0,
                           k - 1).astype(jnp.int32)
         log_u = jnp.log(jax.random.uniform(
-            k2, (flat, c * n), minval=1e-38))
+            k2, (batch_size, c * n), minval=1e-38))
         acc_new = log_u < (eval_lp(j_cand) - log_bound[:, None])
         fresh = jnp.logical_and(jnp.logical_not(accepted), acc_new)
         # Unconverged lanes track their LAST proposal as the fallback.
@@ -233,8 +232,8 @@ def _rejection_backward_indices(key, prev_latent, prev_log_weight,
         accepted = jnp.logical_or(accepted, acc_new)
         return key, idx, accepted, rounds + 1
 
-    idx0 = jnp.zeros((flat, c * n), dtype=jnp.int32)
-    accepted0 = jnp.zeros((flat, c * n), dtype=bool)
+    idx0 = jnp.zeros((batch_size, c * n), dtype=jnp.int32)
+    accepted0 = jnp.zeros((batch_size, c * n), dtype=bool)
     # One unrolled first round (to read the acceptance rate), then loop.
     key_loop, idx, accepted, rounds = body((key, idx0, accepted0, 0))
     accept_rate = jnp.mean(accepted, axis=1)
@@ -258,7 +257,7 @@ def _rejection_backward_indices(key, prev_latent, prev_log_weight,
         idx_exact = _exact_backward_draw(
             key_final, prev_latent, prev_log_weight, children_sel,
             transition, time, prev_obs_list)
-        brow = jnp.arange(flat)[:, None]
+        brow = jnp.arange(batch_size)[:, None]
         keep = jnp.take_along_axis(idx, order, axis=1)
         idx = idx.at[brow, order].set(
             jnp.where(alive_sel, idx_exact, keep))
