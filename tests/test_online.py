@@ -235,6 +235,48 @@ class TestDistributed:
                                    np.asarray(fs_ref.log_weight),
                                    rtol=1e-5, atol=1e-4)
 
+    def test_sharded_streaming_paris_matches_single_device(self):
+        """PaRIS tau riding a particle-sharded carry reproduces the
+        single-device smoothed functional (same keys)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from aesmc_tpu import parallel
+
+        obs = _observations()
+        mesh = parallel.make_mesh(data=1, particle=8)
+        dist = parallel.make_distributed_resampler(mesh,
+                                                   method="systematic")
+
+        def build(**kw):
+            return online.make_online_filter(
+                *_components(), K, paris_h=lambda xp, xc, t: xp * xc,
+                paris_h0=lambda x0: jnp.zeros_like(x0), **kw)
+
+        step_keys = online.split_step_keys(KEY, T, num_streams=3)
+
+        init_ref, step_ref = build()
+        fs_ref = init_ref(obs[0], step_keys[0])
+        for t in range(1, T):
+            fs_ref, info_ref = step_ref(fs_ref, obs[t], step_keys[t])
+
+        init_fn, step_fn = build(resampling_implementation=dist,
+                                 mesh=mesh, data_axis="data",
+                                 particle_axis="particle")
+        fs = init_fn(obs[0], step_keys[0])
+        fs = jax.device_put(fs, jax.tree_util.tree_map(
+            lambda x: NamedSharding(
+                mesh, P(*(("data", "particle") + (None,) *
+                          (x.ndim - 2))[:x.ndim])), fs))
+        jstep = jax.jit(step_fn)
+        for t in range(1, T):
+            fs, info = jstep(fs, obs[t], step_keys[t])
+        np.testing.assert_allclose(np.asarray(fs.tau),
+                                   np.asarray(fs_ref.tau),
+                                   rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(info["paris_smoothed"]),
+            np.asarray(info_ref["paris_smoothed"]),
+            rtol=2e-5, atol=1e-4)
+
 
 class TestGenealogy:
     def test_running_variance_matches_batch_estimator(self):
