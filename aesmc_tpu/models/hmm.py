@@ -263,3 +263,33 @@ def hmm_viterbi(obs, initial_logits, transition_logits, locs, scale):
     for t in range(t_len - 2, -1, -1):
         path[t] = back[t + 1][path[t + 1]]
     return path, float(np.max(delta))
+
+
+def hmm_pairwise_marginals(obs, initial_logits, transition_logits, locs,
+                           scale):
+    """Exact smoothed PAIRWISE marginals xi_t[i, j]
+    = p(x_t = i, x_{t+1} = j | y_{0:T-1}), `[T-1, D, D]` - the
+    Baum-Welch E-step statistic (sum_t xi_t are the expected transition
+    counts, the sufficient statistics online EM tracks via PaRIS)."""
+    log_pi = np.asarray(jax.nn.log_softmax(jnp.asarray(initial_logits)),
+                        dtype=np.float64)
+    log_a = np.asarray(jax.nn.log_softmax(jnp.asarray(transition_logits),
+                                          axis=-1), dtype=np.float64)
+    log_b = _log_emission_matrix(obs, locs, scale)
+    t_len, d = log_b.shape
+    log_alpha = np.zeros((t_len, d))
+    log_alpha[0] = log_pi + log_b[0]
+    for t in range(1, t_len):
+        log_alpha[t] = log_b[t] + _logsumexp(
+            log_alpha[t - 1][:, None] + log_a, axis=0)
+    log_beta = np.zeros((t_len, d))
+    for t in range(t_len - 2, -1, -1):
+        log_beta[t] = _logsumexp(
+            log_a + (log_b[t + 1] + log_beta[t + 1])[None, :], axis=1)
+    loglik = _logsumexp(log_alpha[-1], axis=0)
+    xi = np.zeros((t_len - 1, d, d))
+    for t in range(t_len - 1):
+        log_xi = (log_alpha[t][:, None] + log_a +
+                  (log_b[t + 1] + log_beta[t + 1])[None, :] - loglik)
+        xi[t] = np.exp(log_xi)
+    return xi

@@ -237,3 +237,36 @@ class TestViterbi:
                 best_lp, best_path = lp, cand
         assert tuple(path) == best_path, (tuple(path), best_path)
         assert abs(logp - best_lp) < 1e-9
+
+
+class TestParisOnDiscrete:
+    def test_smoothed_transition_counts_match_exact_xi(self):
+        """PaRIS with one-hot pair increments (the Baum-Welch E-step /
+        online-EM sufficient statistic) vs the exact pairwise marginals
+        - validates the backward kernel on a DISCRETE transition, both
+        backward modes."""
+        comps, obs = _setup()
+        _, transition, _, _ = comps
+        xi_exact = np.stack([
+            hmm.hmm_pairwise_marginals(np.asarray(obs[:, b]),
+                                       *_oracle_args(comps)).sum(0)
+            for b in range(B)])                          # [B, D, D]
+
+        def h(xp, xc, t):
+            pair = xp.astype(jnp.int32) * D + xc.astype(jnp.int32)
+            return jax.nn.one_hot(pair, D * D)
+
+        for backward, kw in (("pairwise", {}),
+                             ("rejection",
+                              {"transition_log_bound":
+                               transition.log_bound})):
+            out = smoothing.paris(
+                obs, *comps, 1024, h=h,
+                h0=lambda x0: jnp.zeros(x0.shape + (D * D,)),
+                key=jax.random.PRNGKey(17), backward=backward, **kw)
+            counts = np.asarray(out["smoothed"]).reshape(B, D, D)
+            err = np.abs(counts - xi_exact).max()
+            assert err < 0.35, (backward, err, xi_exact.max())
+            # relative: total transitions = T-1 per row
+            np.testing.assert_allclose(counts.sum(axis=(1, 2)), T - 1,
+                                       rtol=1e-4)
