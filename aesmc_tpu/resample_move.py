@@ -153,13 +153,15 @@ def resample_move_filter(observations, initial, transition, emission,
     def mh_move(key, head, parent, log_weight_for_scale, time_head,
                 obs_head, prev_obs_head, log_scale_mult=None):
         """num_move_steps RW-MH steps on `head`; returns (head, rate)."""
-        mult = (jnp.exp(log_scale_mult)[:, None]
-                if log_scale_mult is not None else 1.0)
+        def leaf_scale(s):
+            out = move_scale * s
+            if log_scale_mult is not None:
+                out = out * jnp.exp(log_scale_mult).reshape(
+                    (-1,) + (1,) * (s.ndim - 1))
+            return out
+
         scale = jax.tree_util.tree_map(
-            lambda s: move_scale * (
-                s * mult.reshape(mult.shape + (1,) * (s.ndim - 2))
-                if log_scale_mult is not None else s),
-            _weighted_std(head, log_weight_for_scale))
+            leaf_scale, _weighted_std(head, log_weight_for_scale))
         lp = head_log_target(head, parent, time_head, obs_head,
                              prev_obs_head)
         accepted_total = jnp.zeros((batch_size,), lp.dtype)
