@@ -292,6 +292,7 @@ def infer(inference_algorithm: str,
             the particles. smc + discrete resampling methods only
             (not in the reference - standard APF).
         resampling_method: 'systematic' | 'stratified' | 'multinomial' |
+            'residual' |
             'soft' | 'ot' (smc only; the reference is systematic-only).
             'soft' is differentiable resampling: ancestors from the
             tempered mixture alpha*w + (1-alpha)/K with

@@ -209,7 +209,7 @@ def make_online_filter(initial,
         num_particles: particles per batch row.
         lookahead: optional auxiliary-PF score callable, as in `infer`.
         resampling_method: 'systematic' | 'stratified' | 'multinomial' |
-            'soft' | 'ot'.
+            'residual' | 'soft' | 'ot'.
         resampling_implementation: 'auto' | 'xla' | 'pallas' | callable
             (e.g. a distributed shard_map resampler).
         resampling_criterion: 'always' or an ESS fraction in (0, 1].

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from . import math as amath
 
-METHODS = ("systematic", "stratified", "multinomial")
+METHODS = ("systematic", "stratified", "multinomial", "residual")
 
 
 def _check_nan_eager(log_weight):
@@ -138,10 +138,56 @@ def _multinomial_positions(log_weight, key):
     return s[:, :-1] / s[:, -1:]
 
 
+def residual_indices(log_weight, key):
+    """Residual resampling (Liu & Chen 1998): every particle i gets
+    floor(K * w_i) copies DETERMINISTICALLY; the remaining
+    R = K - sum floor(K * w_i) slots are filled multinomially from the
+    residual weights r_i propto K * w_i - floor(K * w_i). Unbiased
+    (E[N_i] = K * w_i exactly) with strictly lower offspring-count
+    variance than multinomial - the deterministic part carries no noise.
+
+    Static-shape formulation: slot s takes the deterministic index
+    searchsorted(cumsum(floor), s) while s < C (the per-row
+    deterministic total) and an iid residual-categorical draw
+    otherwise - exactly Multinomial(R, r) for the random block. The
+    final vector is SORTED (counts are the sufficient statistic; every
+    sampler here emits nondecreasing indices, which the sorted-gather
+    kernels rely on).
+
+    No fused-kernel path: the query set is not a monotone position grid
+    on the unmodified CDF, so this method always runs the XLA route.
+    """
+    log_weight = jnp.asarray(log_weight)
+    batch_size, k = log_weight.shape
+    w = amath.exponentiate_and_normalize(log_weight, dim=-1)
+    kw = k * w
+    copies = jnp.floor(kw)                                    # [B, K]
+    cum_copies = jnp.cumsum(copies, axis=1)
+    det_total = cum_copies[:, -1:]                            # C, [B, 1]
+    slots = jnp.broadcast_to(
+        jnp.arange(k, dtype=cum_copies.dtype)[None], (batch_size, k))
+    det_idx = _searchsorted_right(cum_copies, slots + 0.5)
+
+    residual = kw - copies
+    res_total = jnp.maximum(k - det_total, 1e-30)             # R, [B, 1]
+    cum_res = jax.lax.cummax(jnp.cumsum(residual / res_total, axis=1),
+                             axis=1)
+    cum_res = jnp.concatenate(
+        [cum_res[:, :-1], jnp.ones_like(cum_res[:, -1:])], axis=1)
+    u = jax.random.uniform(key, (batch_size, k),
+                           dtype=jnp.result_type(float))
+    res_idx = _searchsorted_right(cum_res, u.astype(cum_res.dtype))
+
+    idx = jnp.where(slots < det_total, det_idx, res_idx)
+    idx = jnp.clip(idx, 0, k - 1).astype(jnp.int32)
+    return jnp.sort(idx, axis=1)
+
+
 _VARIANTS = {
     "systematic": systematic_indices,
     "stratified": stratified_indices,
     "multinomial": multinomial_indices,
+    "residual": residual_indices,
 }
 
 
@@ -264,6 +310,11 @@ def sample_ancestral_index(log_weight, key, method: str = "systematic",
     if implementation == "auto":
         implementation = _auto_implementation(log_weight, method)
     if implementation == "pallas":
+        if method == "residual":
+            raise ValueError(
+                "residual resampling has no fused kernel path (its "
+                "query set is not a monotone position grid); use "
+                "implementation='xla' or 'auto'")
         from .ops import resample_pallas
         return resample_pallas.sample_ancestral_index_pallas(
             log_weight, key, method=method)
@@ -286,6 +337,8 @@ def resolve_implementation(shape, method: str, implementation) -> str:
     # Soft resampling draws multinomially from the tempered mixture; its
     # fused path shares the multinomial kernel route.
     method = "multinomial" if method == "soft" else method
+    if method == "residual":
+        return "xla"  # no monotone position grid -> no fused kernel
     # Crossover measured on v5e end of round 2 (train step, T=200 B=10):
     # dense one-hot wins at K<=256 (10-13 ms vs pallas's ~18 ms fixed
     # cost), pallas from K=512 up (512: 18.9 vs 20.0; 1024: 26 vs 47;
@@ -392,7 +445,7 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
         # cross-shard particle exchange in one shard_map.
         return implementation(log_weight, key, value)
 
-    if implementation == "xla" and \
+    if implementation == "xla" and method != "residual" and \
             log_weight.shape[1] <= DENSE_GATHER_MAX_K:
         leaves = jax.tree_util.tree_leaves(value)
         if all(jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
@@ -400,6 +453,10 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
             pos = resampling_positions(log_weight, key, method)
             return dense_indices_and_gather(log_weight, pos, value)
 
+    if implementation == "pallas" and method == "residual":
+        raise ValueError(
+            "residual resampling has no fused kernel path; use "
+            "implementation='xla' or 'auto'")
     if implementation == "pallas":
         columns, rebuild = _split_columns(value)
         if columns is not None and len(columns) <= MAX_FUSED_COLUMNS:

@@ -358,3 +358,102 @@ def test_resolve_implementation_memory_guard():
         # 4 * 128 * 256^2 = 33 MB -> dense still wins.
         assert R.resolve_implementation((128, 256), "systematic",
                                         "auto") == "xla"
+
+
+class TestResidual:
+    """Residual resampling (Liu & Chen 1998) specifics."""
+
+    def test_floor_guarantee(self):
+        """Defining property: every particle gets AT LEAST
+        floor(K * w_i) offspring, deterministically, every draw."""
+        weight = np.array([0.05, 0.12, 0.4, 0.28, 0.15])
+        k = 20
+        w = np.tile(weight, 4)
+        w /= w.sum()
+        logw = jnp.log(jnp.asarray(w))[None]
+        floors = np.floor(k * w)
+        for seed in range(25):
+            idx = np.asarray(resampling.residual_indices(
+                logw, jax.random.PRNGKey(seed)))[0]
+            counts = np.bincount(idx, minlength=k)
+            assert np.all(counts >= floors), (counts, floors)
+
+    def test_counts_sum_to_k(self):
+        logw = jax.random.normal(jax.random.PRNGKey(3), (4, 33))
+        idx = np.asarray(resampling.residual_indices(logw, KEY))
+        for b in range(4):
+            assert np.bincount(idx[b], minlength=33).sum() == 33
+
+    def test_sorted(self):
+        logw = jax.random.normal(jax.random.PRNGKey(4), (3, 50))
+        idx = np.asarray(resampling.residual_indices(logw, KEY))
+        assert np.all(np.diff(idx, axis=1) >= 0)
+
+    def test_lower_offspring_variance_than_multinomial(self):
+        """Var(N_i) = Var over the residual block only - strictly below
+        multinomial's K w(1-w) in aggregate."""
+        weight = np.array([0.45, 0.3, 0.15, 0.07, 0.03])
+        logw = jnp.broadcast_to(jnp.log(jnp.asarray(weight)), (4000, 5))
+        counts = {}
+        for method in ("residual", "multinomial"):
+            idx = np.asarray(resampling.sample_ancestral_index(
+                logw, KEY, method=method))
+            counts[method] = np.stack(
+                [np.bincount(row, minlength=5) for row in idx])
+        var_res = counts["residual"].var(axis=0).sum()
+        var_mult = counts["multinomial"].var(axis=0).sum()
+        assert var_res < 0.6 * var_mult, (var_res, var_mult)
+
+    def test_uniform_weights_identity_counts(self):
+        """Exact-multiple weights: zero residual, fully deterministic -
+        every particle exactly once."""
+        logw = jnp.zeros((2, 16))
+        for seed in range(5):
+            idx = np.asarray(resampling.residual_indices(
+                logw, jax.random.PRNGKey(seed)))
+            np.testing.assert_array_equal(
+                idx, np.broadcast_to(np.arange(16), (2, 16)))
+
+    def test_pallas_rejected(self):
+        logw = jnp.zeros((1, 8))
+        with pytest.raises(ValueError, match="residual"):
+            resampling.sample_ancestral_index(logw, KEY,
+                                              method="residual",
+                                              implementation="pallas")
+        with pytest.raises(ValueError, match="residual"):
+            resampling.sample_ancestral_index_and_resample(
+                logw, KEY, jnp.zeros((1, 8)), method="residual",
+                implementation="pallas")
+
+    def test_engine_integration_kalman(self):
+        """infer(resampling_method='residual') on the LGSSM with the
+        optimal proposal: log-Z within MC tolerance of exact Kalman."""
+        from aesmc_tpu import inference, statistics
+        from aesmc_tpu.models import kalman, lgssm
+
+        a, q, em, r0 = 0.9, 1.0, 1.0, 0.25
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(a, np.sqrt(q))
+        emission = lgssm.Emission.create(em, np.sqrt(r0))
+        prec_t = 1.0 / q + em ** 2 / r0
+        prec_0 = 1.0 + em ** 2 / r0
+        proposal = lgssm.Proposal(
+            lin_0_weight=jnp.asarray((em / r0) / prec_0),
+            lin_0_bias=jnp.asarray(0.0),
+            lin_t_weight=jnp.asarray([(a / q) / prec_t,
+                                      (em / r0) / prec_t]),
+            lin_t_bias=jnp.asarray(0.0),
+            scale_0=float(np.sqrt(1.0 / prec_0)),
+            scale_t=float(np.sqrt(1.0 / prec_t)))
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, 20, 2, jax.random.PRNGKey(8))
+        out = inference.infer(
+            "smc", obs, initial, transition, emission, proposal, 2048,
+            key=jax.random.PRNGKey(9), resampling_method="residual",
+            return_log_marginal_likelihood=True)
+        params = kalman.KalmanParams(0.0, 1.0, a, 0.0, q, em, 0.0, r0)
+        lz = np.asarray(out["log_marginal_likelihood"])
+        for b in range(2):
+            exact = kalman.kalman_filter(
+                np.asarray(obs[:, b], np.float64), params)[-1]
+            assert abs(lz[b] - exact) < 0.1, (b, lz[b], exact)
