@@ -44,7 +44,8 @@ def _run_online(obs, key, **kwargs):
 
 class TestParity:
     @pytest.mark.parametrize("method",
-                             ["systematic", "stratified", "multinomial"])
+                             ["systematic", "stratified", "multinomial",
+                              "residual"])
     def test_discrete_methods_match_infer(self, method):
         obs = _observations()
         ref = inference.infer(
