@@ -123,6 +123,20 @@ def main():
     bench_infer(f"Lorenz-96 D=8 T={T} B={B} K={K} assimilation (diag)",
                 lz_assim, obs, K, T, B)
 
+    # Discrete-latent HMM (round-3 model family): int32 particles, with
+    # the closed-form fully-adapted proposal vs bootstrap. Exercises the
+    # integer-column path through the fused resample+gather at the
+    # headline shape.
+    from aesmc_tpu.models import hmm
+    T, B, K = 200, 10, 10_000
+    hm = hmm.make_model(num_states=8, proposal="optimal")
+    _, obs = statistics.sample_from_prior(hm[0], hm[1], hm[2], T, B, key)
+    bench_infer(f"HMM D=8 T={T} B={B} K={K} fully-adapted",
+                hm, obs, K, T, B)
+    hm_boot = hmm.make_model(num_states=8, proposal="bootstrap")
+    bench_infer(f"HMM D=8 T={T} B={B} K={K} bootstrap",
+                hm_boot, obs, K, T, B)
+
     # Particle Gibbs (PGAS) sweep rate - the posterior-sampling module.
     from aesmc_tpu import csmc, statistics as astats
     from aesmc_tpu.models import lgssm as _lgssm
