@@ -35,6 +35,7 @@ from . import sqmc
 from . import state
 from . import smoothing
 from . import tmc
+from . import twisted
 from . import statistics
 from . import train
 from . import utils
@@ -47,6 +48,6 @@ __all__ = [
     "losses", "math", "models", "online", "ot", "parallel", "profiling",
     "proposals", "rbpf", "resample_move", "resampling", "samplers", "smc2", "smoothing",
     "sqmc",
-    "state", "statistics", "tmc", "train", "utils", "variance",
+    "state", "statistics", "tmc", "train", "twisted", "utils", "variance",
     "__version__",
 ]

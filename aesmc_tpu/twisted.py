@@ -1,0 +1,446 @@
+"""Twisted (controlled) sequential Monte Carlo.
+
+Runs SMC on a *twisted* model: each timestep's target is reweighted by a
+positive twisting function psi_t(x_t), with the proposal absorbing the
+twist so that incremental weights become
+``g_t(y_t | x_t) * psitilde_{t+1}(x_t) / psi_t(x_t)`` (and an extra
+``mu(psi_0)`` constant at t=0), where
+``psitilde_t(x) = int f(x' | x) psi_t(x') dx'``. With the optimal
+twist ``psi_t(x) = p(y_{t:T-1} | x_t)`` every particle carries the same
+weight and the evidence estimator is *exact* with zero variance
+(Guarniero, Johansen & Lee 2017 "The iterated auxiliary particle
+filter"; Heng, Bishop, Deligiannidis & Doucet 2020 "Controlled
+sequential Monte Carlo").
+
+TPU-native design: twists are *log-quadratic* (diagonal), so for
+Gaussian-noise transitions with arbitrary (nonlinear) mean functions the
+twisted transition stays Gaussian with closed-form moments - sampling
+and density are pure elementwise VPU math, no per-particle solves (see
+BENCH_NOTES "tiny-Cholesky TPU trap"). The twisted model is expressed
+as ordinary engine components and handed to `inference.infer`, so every
+engine feature rides along unchanged: all resampling methods and
+implementations (incl. the fused Pallas kernels), ESS-adaptive
+criteria, lineage tracing, meshes, remat.
+
+Components produced here satisfy the engine call contract
+(aesmc_tpu/inference.py:466-473 and :590-607). The twisted transition
+and proposal are the *same* closed-form Gaussian, so their log-probs
+cancel exactly in the weight and only the emission term - which carries
+``log g + log psitilde_{t+1} - log psi_t`` - survives, matching the
+twisted-SMC incremental weight.
+
+Provided here:
+- `QuadraticTwist`: per-timestep diagonal log-quadratic twist params.
+- `make_twisted_components` / `twisted_smc`: run the engine on the
+  twisted model.
+- `exact_lgssm_twist`: the optimal twist for (scalar or diagonal-D)
+  linear-Gaussian SSMs via the closed-form backward information filter
+  - used by tests to verify the zero-variance property against the
+  exact Kalman evidence.
+- `learn_twist`: iterated approximate-dynamic-programming twist
+  learning (psi-APF): run twisted SMC, regress
+  ``log g_t + log psitilde_{t+1}`` on quadratic features of the
+  particles backward in time, repeat. On models where the target is
+  exactly log-quadratic (LGSSM) one iteration recovers the optimal
+  twist exactly.
+
+No counterpart exists in /root/reference (beyond-parity capability);
+the closest reference surface is the proposal hook at
+/root/reference/aesmc/inference.py:234-269, which cannot reweight
+emissions and so cannot express twisting.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import distributions as dists
+from . import inference as ainference
+from . import state as astate
+from .state import BatchShapeMode
+
+__all__ = [
+    "QuadraticTwist",
+    "GaussianSSMSpec",
+    "LogCorrectedDistribution",
+    "make_twisted_components",
+    "twisted_smc",
+    "exact_lgssm_twist",
+    "learn_twist",
+]
+
+
+@struct.dataclass
+class QuadraticTwist:
+    """log psi_t(x) = sum_d [-A[t,...,d]/2 * x_d^2 + b[t,...,d] * x_d] + c[t].
+
+    Shapes: scalar latents `A, b, c: [T, batch]`; vector latents
+    `A, b: [T, batch, D]`, `c: [T, batch]`. `A >= 0` keeps the twisted
+    Gaussian kernels proper for any transition variance (any
+    ``A > -1/sigma^2`` would do; the learners clamp at 0).
+    """
+
+    A: Any
+    b: Any
+    c: Any
+
+    @classmethod
+    def zeros(cls, num_timesteps: int, batch_size: int,
+              dim: Optional[int] = None, dtype=jnp.float32):
+        shape = ((num_timesteps, batch_size) if dim is None
+                 else (num_timesteps, batch_size, dim))
+        return cls(A=jnp.zeros(shape, dtype), b=jnp.zeros(shape, dtype),
+                   c=jnp.zeros((num_timesteps, batch_size), dtype))
+
+    @property
+    def vector(self) -> bool:
+        return jnp.asarray(self.A).ndim == 3
+
+
+@struct.dataclass
+class GaussianSSMSpec:
+    """Transition/initial structure twisted SMC needs in closed form.
+
+    The model's transition must be ``x_t ~ N(mean_fn(x_{t-1}, t),
+    diag(transition_scale^2))`` with a state-independent (diagonal)
+    scale; the mean may be any (nonlinear, parameterized) function -
+    this covers LGSSM, stochastic volatility, Lorenz-96 etc. The
+    emission is unrestricted (only evaluated, never integrated).
+
+    `mean_fn(previous_latent, time)` receives `[batch, K(, D)]` latents
+    and the (possibly traced) index of the state being generated.
+    """
+
+    initial_loc: Any
+    initial_scale: Any
+    transition_scale: Any
+    mean_fn: Any = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class LogCorrectedDistribution(dists.Distribution):
+    """Base distribution plus a value-independent per-particle log term.
+
+    Used for the twisted emission: `log_prob(y)` is the base emission
+    log-density *summed over event/extra dims* plus
+    ``log psitilde_{t+1}(x) - log psi_t(x)`` (a `[batch, K]` array fixed
+    at construction). `batch_shape` is the correction's shape so
+    `state.log_prob` (state.py:167-199) takes the direct dispatch branch
+    for `[batch, K(, event)]` values.
+    """
+
+    base: Any
+    log_correction: Any
+    batch_shape_mode: Optional[Any] = struct.field(
+        pytree_node=False, default=None)
+
+    @property
+    def batch_shape(self):
+        return tuple(jnp.asarray(self.log_correction).shape)
+
+    @property
+    def event_shape(self):
+        return self.base.event_shape
+
+    def sample(self, key, sample_shape=()):
+        # The correction only reweights densities; sampling (used by
+        # statistics.sample_from_prior, never by the twisted engine
+        # path) falls through to the base emission.
+        return self.base.sample(key, sample_shape)
+
+    def log_prob(self, value):
+        lp = self.base.log_prob(value)
+        if lp.ndim > 2:
+            lp = jnp.sum(lp.reshape(lp.shape[0], lp.shape[1], -1), axis=2)
+        return lp + self.log_correction
+
+
+def _quad_terms(m, s2, a, b):
+    """Per-dim log int N(x'; m, s2) exp(-a/2 x'^2 + b x') dx'.
+
+    Elementwise in every argument (broadcasts); the quadratic-in-m
+    closed form of the Gaussian-times-log-quadratic integral. With
+    a = b = 0 this is ~0 to fp rounding, so a zero-padded twist row
+    implements psitilde_T = 1 with no special casing.
+    """
+    p = 1.0 / s2 + a
+    return (-0.5 * jnp.log(s2 * p)
+            + jnp.square(m / s2 + b) / (2.0 * p)
+            - jnp.square(m) / (2.0 * s2))
+
+
+def _reduce(x, vector: bool):
+    return jnp.sum(x, axis=-1) if vector else x
+
+
+def _pexpand(arr):
+    """Insert the particle axis: [B(,D)] -> [B, 1(, D)]."""
+    return jnp.expand_dims(arr, 1)
+
+
+def _broadcast_twist(twist: QuadraticTwist, batch_size: int
+                     ) -> QuadraticTwist:
+    A = jnp.asarray(twist.A)
+    b = jnp.asarray(twist.b)
+    c = jnp.asarray(twist.c)
+    tshape = (A.shape[0], batch_size) + A.shape[2:]
+    return QuadraticTwist(A=jnp.broadcast_to(A, tshape),
+                          b=jnp.broadcast_to(b, tshape),
+                          c=jnp.broadcast_to(c, (c.shape[0], batch_size)))
+
+
+def make_twisted_components(spec: GaussianSSMSpec, emission,
+                            twist: QuadraticTwist, batch_size: int):
+    """Engine components (initial, transition, emission, proposal) for
+    the psi-twisted model.
+
+    transition' == proposal' (the same closed-form twisted Gaussian), so
+    the engine's ``transition_lp - proposal_lp`` cancels bit-exactly and
+    the per-step weight is exactly the twisted incremental weight held
+    by the corrected emission.
+    """
+    twist = _broadcast_twist(twist, batch_size)
+    vector = twist.vector
+    s2 = jnp.square(jnp.asarray(spec.transition_scale))
+    s02 = jnp.square(jnp.asarray(spec.initial_scale))
+    m0 = jnp.asarray(spec.initial_loc)
+
+    # Zero row T: psitilde_T = 1 (log 0) falls out of _quad_terms.
+    zrow = jnp.zeros_like(twist.A[:1])
+    a_pad = jnp.concatenate([twist.A, zrow], axis=0)
+    b_pad = jnp.concatenate([twist.b, zrow], axis=0)
+    c_pad = jnp.concatenate([twist.c, jnp.zeros_like(twist.c[:1])], axis=0)
+
+    # log mu(psi_0): the t=0 evidence constant, [batch].
+    log_mu_psi0 = (_reduce(_quad_terms(m0, s02, twist.A[0], twist.b[0]),
+                           vector) + twist.c[0])
+
+    def _tindex(time):
+        return time if isinstance(time, int) else jnp.asarray(time)
+
+    def _twisted_gaussian(m, a, b):
+        p = 1.0 / s2 + a
+        loc = (m / s2 + b) / p
+        scale = jax.lax.rsqrt(p)
+        if vector:
+            return dists.MultivariateNormalDiag(
+                loc, jnp.broadcast_to(scale, loc.shape),
+                batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
+        return dists.Normal(loc, scale,
+                            batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
+
+    def initial_():
+        p0 = 1.0 / s02 + twist.A[0]
+        loc = (m0 / s02 + twist.b[0]) / p0
+        scale = jax.lax.rsqrt(p0)
+        if vector:
+            return dists.MultivariateNormalDiag(
+                loc, jnp.broadcast_to(scale, loc.shape),
+                batch_shape_mode=BatchShapeMode.BATCH_EXPANDED)
+        return dists.Normal(loc, scale,
+                            batch_shape_mode=BatchShapeMode.BATCH_EXPANDED)
+
+    def transition_(previous_latents=None, time=None,
+                    previous_observations=None):
+        del previous_observations
+        t = _tindex(time)
+        m = spec.mean_fn(previous_latents[-1], time)
+        return _twisted_gaussian(m, _pexpand(a_pad[t]), _pexpand(b_pad[t]))
+
+    def proposal_(previous_latents=None, time=None, observations=None):
+        del observations
+        if isinstance(time, int) and time == 0:
+            return initial_()
+        return transition_(previous_latents=previous_latents, time=time)
+
+    def emission_(latents=None, time=None, previous_observations=None):
+        base = emission(latents=latents, time=time,
+                        previous_observations=previous_observations)
+        x = latents[-1]
+        t = _tindex(time)
+        # log psitilde_{t+1}(x): integrates the *next* transition kernel
+        # N(mean_fn(x, t+1), s2) against psi_{t+1}.
+        m_next = spec.mean_fn(x, time + 1)
+        lp_tilde = (_reduce(_quad_terms(m_next, s2,
+                                        _pexpand(a_pad[t + 1]),
+                                        _pexpand(b_pad[t + 1])), vector)
+                    + _pexpand(c_pad[t + 1]))
+        lp_psi = (_reduce(-0.5 * _pexpand(a_pad[t]) * jnp.square(x)
+                          + _pexpand(b_pad[t]) * x, vector)
+                  + _pexpand(c_pad[t]))
+        corr = lp_tilde - lp_psi
+        if isinstance(time, int) and time == 0:
+            corr = corr + _pexpand(log_mu_psi0)
+        return LogCorrectedDistribution(
+            base, corr, batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
+
+    return initial_, transition_, emission_, proposal_
+
+
+def twisted_smc(observations, spec: GaussianSSMSpec, emission,
+                twist: QuadraticTwist, num_particles: int, key=None,
+                **infer_kwargs) -> dict:
+    """SMC on the psi-twisted model; same return vocabulary as `infer`.
+
+    The log-marginal-likelihood estimator is unbiased for the *original*
+    model's evidence for any twist, and exact (zero variance) at the
+    optimal twist.
+    """
+    stacked = ainference.stack_observations(observations)
+    batch_size = jax.tree_util.tree_leaves(stacked)[0].shape[1]
+    initial_, transition_, emission_, proposal_ = make_twisted_components(
+        spec, emission, twist, batch_size)
+    infer_kwargs.setdefault("return_log_marginal_likelihood", True)
+    return ainference.infer(
+        "smc", stacked, initial_, transition_, emission_, proposal_,
+        num_particles=num_particles, key=key, **infer_kwargs)
+
+
+def exact_lgssm_twist(observations, initial_mean, initial_scale,
+                      transition_mult, transition_scale, emission_mult,
+                      emission_scale) -> QuadraticTwist:
+    """Optimal twist psi_t(x) = p(y_{t:T-1} | x_t) for a linear-Gaussian
+    SSM (scalar params, or [D] arrays for a diagonal/independent-dims
+    model), via the closed-form backward information filter:
+    psi_{T-1} = g_{T-1}, psi_t = g_t * psitilde_{t+1}, all
+    log-quadratic. `initial_mean`/`initial_scale` are unused (the t=0
+    twist acts through the twisted initial) but kept for signature
+    symmetry with the Kalman oracles.
+    """
+    del initial_mean, initial_scale
+    y = jnp.asarray(ainference.stack_observations(observations),
+                    dtype=jnp.result_type(float))
+    vector = y.ndim == 3
+    a = jnp.asarray(transition_mult, y.dtype)
+    s2 = jnp.square(jnp.asarray(transition_scale, y.dtype))
+    ce = jnp.asarray(emission_mult, y.dtype)
+    e2 = jnp.square(jnp.asarray(emission_scale, y.dtype))
+
+    def step(carry, y_t):
+        a_til, b_til, c_til = carry
+        # psi_t = g_t * psitilde_{t+1}, expanded in x.
+        a_t = jnp.square(ce) / e2 + a_til
+        b_t = y_t * ce / e2 + b_til
+        c_t = (-0.5 * jnp.square(y_t) / e2
+               - 0.5 * jnp.log(2.0 * jnp.pi * e2) + c_til)
+        # psitilde_t(x) = int N(x'; a x, s2) psi_t(x') dx', quadratic
+        # in x (expand _quad_terms at m = a x).
+        p = 1.0 / s2 + a_t
+        a_til2 = jnp.square(a) / s2 - jnp.square(a) / (jnp.square(s2) * p)
+        b_til2 = a * b_t / (s2 * p)
+        c_til2 = jnp.square(b_t) / (2.0 * p) + c_t - 0.5 * jnp.log(s2 * p)
+        return (a_til2, b_til2, c_til2), (a_t, b_t, c_t)
+
+    z = jnp.zeros_like(y[0] * (ce * 0 + 1))  # [B(,D)], broadcast vs params
+    _, (A, b, c) = jax.lax.scan(step, (z, z, z), y[::-1])
+    A, b, c = A[::-1], b[::-1], c[::-1]
+    if vector:
+        c = jnp.sum(c, axis=-1)
+    return QuadraticTwist(A=A, b=b, c=c)
+
+
+def _fit_quadratic(x, target, ridge):
+    """Least-squares fit of `target` [K] on quadratic features of `x`
+    ([K] scalar or [K, D] vector): returns (A [.,D?], b, c) with A
+    clamped >= 0 so the twisted kernels stay proper."""
+    if x.ndim == 1:
+        phi = jnp.stack([jnp.square(x), x, jnp.ones_like(x)], axis=1)
+        d = 1
+    else:
+        d = x.shape[-1]
+        phi = jnp.concatenate(
+            [jnp.square(x), x, jnp.ones_like(x[:, :1])], axis=1)
+    gram = phi.T @ phi + ridge * jnp.eye(phi.shape[1], dtype=x.dtype)
+    theta = jnp.linalg.solve(gram, phi.T @ target)
+    a_fit = jnp.maximum(-2.0 * theta[:d], 0.0)
+    b_fit = theta[d:2 * d]
+    c_fit = theta[-1]
+    if x.ndim == 1:
+        return a_fit[0], b_fit[0], c_fit
+    return a_fit, b_fit, c_fit
+
+
+def _adp_refit(observations, spec: GaussianSSMSpec, emission, xs,
+               ridge) -> QuadraticTwist:
+    """One backward ADP pass: fit log psi_t to
+    ``log g_t + log psitilde_{t+1}`` at the particle locations, t from
+    T-1 down to 0 (t=0 hoisted out of the scan, engine-style, so the
+    emission still sees a static `time=0` there)."""
+    y = ainference.stack_observations(observations)
+    x0 = jax.tree_util.tree_leaves(xs)[0]
+    num_timesteps, _, num_particles = x0.shape[:3]
+    vector = x0.ndim == 4
+    s2 = jnp.square(jnp.asarray(spec.transition_scale))
+    fit = jax.vmap(_fit_quadratic, in_axes=(0, 0, None))
+
+    def target_and_fit(carry, x_t, y_t, time):
+        a_n, b_n, c_n = carry
+        g = astate.log_prob(
+            emission(latents=[x_t], time=time),
+            astate.expand_observation(y_t, num_particles))
+        m_next = spec.mean_fn(x_t, time + 1)
+        lp_tilde = (_reduce(_quad_terms(m_next, s2, _pexpand(a_n),
+                                        _pexpand(b_n)), vector)
+                    + _pexpand(c_n))
+        return fit(x_t, g + lp_tilde, ridge)
+
+    def step(carry, inp):
+        y_t, x_t, t = inp
+        fitted = target_and_fit(carry, x_t, y_t, ainference.TimeIndex(t))
+        return fitted, fitted
+
+    zslice = jnp.zeros_like(x0[0, :, 0])  # [B(,D)]
+    zc = jnp.zeros(x0.shape[1], x0.dtype)
+    y_rest = jax.tree_util.tree_map(lambda a: a[1:][::-1], y)
+    x_rest = jax.tree_util.tree_map(lambda a: a[1:][::-1], xs)
+    ts = jnp.arange(1, num_timesteps)[::-1]
+    carry1, (a_rev, b_rev, c_rev) = jax.lax.scan(
+        step, (zslice, zslice, zc), (y_rest, x_rest, ts))
+    a0, b0, c0 = target_and_fit(
+        carry1, jax.tree_util.tree_map(lambda v: v[0], xs),
+        jax.tree_util.tree_map(lambda v: v[0], y), 0)
+    stack = lambda h, r: jnp.concatenate([h[None], r[::-1]], axis=0)
+    return QuadraticTwist(A=stack(a0, a_rev), b=stack(b0, b_rev),
+                          c=stack(c0, c_rev))
+
+
+def learn_twist(observations, spec: GaussianSSMSpec, emission,
+                num_particles: int, key=None, num_iterations: int = 2,
+                init_twist: Optional[QuadraticTwist] = None,
+                ridge: float = 1e-6, **smc_kwargs):
+    """Iterated ADP twist learning (psi-APF, Guarniero et al. 2017).
+
+    Each iteration runs twisted SMC under the current twist and refits
+    all T twists by backward regression on quadratic features of the
+    (pre-resampling) particles. Markov, time-uniform emissions only
+    (the regression scan passes a traced `TimeIndex`; reference-style
+    `if time == 0` emission branches are handled by the hoisted t=0
+    fit). Returns ``(twist, info)`` with per-iteration evidence
+    estimates in ``info['log_marginal_likelihood']`` `[iters, batch]`.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    y = ainference.stack_observations(observations)
+    lead = jax.tree_util.tree_leaves(y)[0]
+    num_timesteps, batch_size = lead.shape[0], lead.shape[1]
+    loc = jnp.asarray(spec.initial_loc)
+    dim = None if loc.ndim == 0 else loc.shape[-1]
+    twist = init_twist if init_twist is not None else QuadraticTwist.zeros(
+        num_timesteps, batch_size, dim, dtype=jnp.result_type(float))
+
+    log_zs = []
+    for _ in range(num_iterations):
+        key, subkey = jax.random.split(key)
+        out = twisted_smc(
+            y, spec, emission, twist, num_particles, key=subkey,
+            return_latents=False, return_original_latents=True,
+            **smc_kwargs)
+        twist = _adp_refit(y, spec, emission, out["original_latents"],
+                           ridge)
+        log_zs.append(out["log_marginal_likelihood"])
+    return twist, {"log_marginal_likelihood": jnp.stack(log_zs)}
