@@ -32,6 +32,14 @@ computes filtering expectations):
    This is the machinery behind online EM, online score/gradient
    (Fisher identity) estimation, and streaming smoothed sufficient
    statistics - nothing is stored per timestep, so T is unbounded.
+
+Backward-draw modes, measured on v5e (BENCH_NOTES "pairwise vs
+rejection PaRIS on TPU"): `backward='pairwise'` (the [B, K, K] tile)
+rides the MXU and is 8-18x FASTER than `backward='rejection'` on TPU
+wherever the tile fits in HBM (K <= ~16k at B=2 f32) - rejection's
+`lax.while_loop` rounds serialize on device. The CPU picture is the
+opposite (rejection 6.4x faster at K=2048). Use rejection on TPU only
+above the pairwise memory wall, or on CPU/host smoothing.
 """
 
 from __future__ import annotations
