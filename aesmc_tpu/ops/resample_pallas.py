@@ -1049,6 +1049,11 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
     `aesmc_tpu.resampling.sample_ancestral_index` (same PRNG stream:
     positions are drawn exactly as in the XLA implementations)."""
     log_weight = jnp.asarray(log_weight)
+    if method == "residual":
+        raise ValueError(
+            "residual resampling has no fused kernel path (its query set "
+            "is not a monotone position grid on the unmodified CDF); use "
+            "implementation='xla' or 'auto'")
     k = log_weight.shape[1]
     if k > LARGE_KERNEL_PARTICLES:
         raise ValueError(

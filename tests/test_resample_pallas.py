@@ -12,7 +12,8 @@ from aesmc_tpu.ops import resample_pallas
 KEY = jax.random.PRNGKey(0)
 
 
-@pytest.mark.parametrize("method", resampling.METHODS)
+@pytest.mark.parametrize(
+    "method", [m for m in resampling.METHODS if m != "residual"])
 @pytest.mark.parametrize("shape", [(1, 3), (3, 100), (2, 1000)])
 def test_exact_match_small(method, shape):
     """At small K the blocked cumsum accumulates in the same order, so
@@ -23,6 +24,16 @@ def test_exact_match_small(method, shape):
     got = np.asarray(resample_pallas.sample_ancestral_index_pallas(
         lw, KEY, method=method, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_residual_has_no_kernel_path():
+    """Residual's query set is not a monotone position grid on the
+    unmodified CDF, so the fused kernel refuses it (the engine router
+    guards this too, resampling.py); documented in docs/API.md."""
+    lw = jnp.zeros((2, 64))
+    with pytest.raises(ValueError, match="residual.*no fused kernel"):
+        resample_pallas.sample_ancestral_index_pallas(
+            lw, KEY, method="residual", interpret=True)
 
 
 def test_near_exact_large():
