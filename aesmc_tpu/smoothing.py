@@ -37,9 +37,20 @@ Backward-draw modes, measured on v5e (BENCH_NOTES "pairwise vs
 rejection PaRIS on TPU"): `backward='pairwise'` (the [B, K, K] tile)
 rides the MXU and is 8-18x FASTER than `backward='rejection'` on TPU
 wherever the tile fits in HBM (K <= ~16k at B=2 f32) - rejection's
-`lax.while_loop` rounds serialize on device. The CPU picture is the
-opposite (rejection 6.4x faster at K=2048). Use rejection on TPU only
-above the pairwise memory wall, or on CPU/host smoothing.
+`lax.while_loop` rounds serialize on device. Above that wall the
+pairwise mode now STREAMS the exact categorical over parent chunks
+(Gumbel-max running argmax, `_chunked_pairwise_backward_indices`):
+O(K * chunk) live memory, still O(K^2) compute - so pairwise covers
+mid-large K and rejection's O(K) wins only when compute, not memory,
+binds. The CPU picture is the opposite (rejection 6.4x faster at
+K=2048).
+
+WARNING (open TPU bug, round 3-4): `backward='rejection'` at
+K = 65,536 (T=25 B=2 N=2 LGSSM) crashed the TPU worker through the
+tunnel, reproduced twice - suspected XLA TPU lowering of the
+while_loop + searchsorted at [B, 131072] lanes. K <= 16,384 is
+measured healthy; see BENCH_NOTES "rejection K=65,536 crash" for the
+bracketing status before relying on rejection above 16k on TPU.
 """
 
 from __future__ import annotations
@@ -87,6 +98,103 @@ def _chunk_size(k: int, target: int = 4096) -> int:
         if k % d == 0:
             best = d
     return best if (best >= 256 or k <= target) else k
+
+
+# Dense-tile ceiling for the pairwise backward: above this the exact
+# categorical streams over parent chunks (`_chunked_pairwise_backward_
+# indices`) instead of materializing the [B, K, K] logits tile. 2^31
+# bytes = the largest tile measured healthy on v5e (K=16,384 at B=2
+# f32; BENCH_NOTES "pairwise vs rejection PaRIS on TPU").
+PAIRWISE_DENSE_MAX_BYTES = 1 << 31
+# Live-block budget for the streamed path: the per-chunk Gumbel block
+# [B, chunk, C, N] is sized to stay under this many bytes.
+PAIRWISE_CHUNK_BYTES = 256 << 20
+
+
+def _chunked_pairwise_backward_indices(key, prev_latent, prev_log_weight,
+                                       children, transition, time,
+                                       prev_obs_list, num_draws: int,
+                                       resolved_pairwise: str,
+                                       chunk_target=None):
+    """EXACT backward-kernel categorical draws, streamed over parent
+    chunks: Gumbel-max with a running (max, argmax) carried across
+    chunks, so J ~ Categorical_j(w^j p(child | parent_j)) is drawn with
+    O(K * chunk) live memory instead of the [B, K, C] tile - the
+    pairwise mode's extension past its dense memory wall (K ~ 16k at
+    B=2 on v5e). Compute stays O(K * C * N) per step: use
+    backward='rejection' when that, not memory, is the binding cost.
+
+    The Gumbel noise is keyed PER PARENT (`fold_in(key, j)` for global
+    parent index j), so the draw is bit-invariant to the chunk size
+    (same noise per (parent, child, draw) triple regardless of how
+    parents are blocked; cross-chunk ties resolve to the lowest parent
+    index, matching argmax) - pinned by `tests/test_paris.py`.
+
+    Args:
+        children: `[B, C(, D)]` pytree of child particles.
+        num_draws: N independent draws per child.
+        resolved_pairwise: 'broadcast' | 'vmap' (already resolved -
+            never 'auto'; the probe must run outside any remat'd scan).
+        chunk_target: override the auto chunk size (divisor of K).
+    Returns:
+        `[B, C, N]` int32 parent indices.
+    """
+    batch_size, c_children = _first_leaf(children).shape[:2]
+    k = prev_log_weight.shape[1]
+    n = num_draws
+    if chunk_target is None:
+        chunk_target = max(
+            1, PAIRWISE_CHUNK_BYTES // (4 * batch_size * c_children * n))
+    chunk = _chunk_size(k, min(int(chunk_target), k))
+    n_chunks = k // chunk
+
+    parents_x = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(
+            x.reshape((batch_size, n_chunks, chunk) + x.shape[2:]), 1, 0),
+        prev_latent)                         # [n_chunks, B, chunk, ...]
+    logw_x = jnp.moveaxis(
+        prev_log_weight.reshape(batch_size, n_chunks, chunk), 1, 0)
+    children_new = _expand_new(children)     # [B, 1, C, ...]
+
+    def chunk_log_prob(parents_c):           # -> [B, chunk, C]
+        if resolved_pairwise == "broadcast":
+            dist = transition(
+                previous_latents=[_expand_prev(parents_c)], time=time,
+                previous_observations=prev_obs_list)
+            return _pairwise_log_prob(dist, children_new)
+        def per_parent(parent):              # parent [B(, D)]
+            parent1 = jax.tree_util.tree_map(lambda x: x[:, None], parent)
+            dist = transition(previous_latents=[parent1], time=time,
+                              previous_observations=prev_obs_list)
+            return state.log_prob(dist, children)             # [B, C]
+        return jax.vmap(per_parent, in_axes=1, out_axes=1)(parents_c)
+
+    def body(carry, inputs):
+        best, best_idx = carry               # [B, C, N]
+        chunk_i, parents_c, logw_c = inputs
+        lp = chunk_log_prob(parents_c)
+        global_j = chunk_i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        keys_j = jax.vmap(lambda j: jax.random.fold_in(key, j))(global_j)
+        g = jnp.moveaxis(
+            jax.vmap(lambda kk: jax.random.gumbel(
+                kk, (batch_size, c_children, n),
+                dtype=best.dtype))(keys_j),
+            0, 1)                            # [B, chunk, C, N]
+        score = lp[..., None] + logw_c[:, :, None, None] + g
+        m = jnp.max(score, axis=1)                            # [B, C, N]
+        am = (chunk_i * chunk +
+              jnp.argmax(score, axis=1).astype(jnp.int32))    # [B, C, N]
+        take = m > best
+        return (jnp.where(take, m, best),
+                jnp.where(take, am, best_idx)), None
+
+    best0 = jnp.full((batch_size, c_children, n), -jnp.inf,
+                     dtype=prev_log_weight.dtype)
+    idx0 = jnp.zeros((batch_size, c_children, n), dtype=jnp.int32)
+    (_, idx), _ = jax.lax.scan(
+        body, (best0, idx0),
+        (jnp.arange(n_chunks, dtype=jnp.int32), parents_x, logw_x))
+    return idx
 
 
 def _exact_backward_draw(key, prev_latent, prev_log_weight,
@@ -318,6 +426,15 @@ def _paris_backward_update(key, prev_latent, prev_log_weight, latent_t,
             key, prev_latent, prev_log_weight, latent_t, transition,
             time, prev_obs_list, num_backward_draws, log_bound,
             max_rejection_rounds, max_exact_lanes)        # [B, K, N]
+    elif (4 * batch_size * prev_log_weight.shape[1] ** 2
+          > PAIRWISE_DENSE_MAX_BYTES):
+        # Above the dense-tile wall: same exact categorical, streamed
+        # over parent chunks (Gumbel-max running argmax).
+        j_all = _chunked_pairwise_backward_indices(
+            key, prev_latent, prev_log_weight, latent_t, transition,
+            time, prev_obs_list, num_backward_draws, resolved_pairwise)
+        acc_rate = jnp.ones((batch_size,), prev_log_weight.dtype)
+        unconv = jnp.zeros((batch_size,), jnp.int32)
     else:
         # Exact categorical from the [B, Ki, Kj] pairwise tile:
         # logits[b, i_child, j_parent]

@@ -305,3 +305,76 @@ class TestRejectionBackward:
                               backward="rejection")
         assert out["backward_unconverged"].shape == (2,)
         assert np.all(np.asarray(out["backward_accept_rate"]) == 1.0)
+
+
+class TestChunkedPairwise:
+    """The streamed Gumbel-max pairwise backward (the exact categorical
+    past the dense [B, K, K] tile wall)."""
+
+    def _setup(self, Kp=12, C=5, B_=2):
+        transition = lgssm.Transition.create(A, np.sqrt(Q))
+        kx, kc, kw = jax.random.split(jax.random.PRNGKey(3), 3)
+        prev_latent = jax.random.normal(kx, (B_, Kp))
+        children = jax.random.normal(kc, (B_, C))
+        prev_logw = jax.random.normal(kw, (B_, Kp))
+        return transition, prev_latent, prev_logw, children
+
+    def test_chunk_size_invariance(self):
+        """Per-parent Gumbel keying: the draw is bit-identical whatever
+        the chunking (chunk=K is the dense Gumbel-max)."""
+        transition, prev_latent, prev_logw, children = self._setup()
+        time = smoothing.TimeIndex(jnp.asarray(3, jnp.int32))
+        draws = [
+            smoothing._chunked_pairwise_backward_indices(
+                KEY, prev_latent, prev_logw, children, transition, time,
+                None, 2, "broadcast", chunk_target=ct)
+            for ct in (12, 6, 4, 3, 2, 1)]
+        for d in draws[1:]:
+            np.testing.assert_array_equal(np.asarray(draws[0]),
+                                          np.asarray(d))
+
+    def test_vmap_matches_broadcast_mode(self):
+        transition, prev_latent, prev_logw, children = self._setup()
+        time = smoothing.TimeIndex(jnp.asarray(2, jnp.int32))
+        a = smoothing._chunked_pairwise_backward_indices(
+            KEY, prev_latent, prev_logw, children, transition, time,
+            None, 1, "broadcast", chunk_target=4)
+        b = smoothing._chunked_pairwise_backward_indices(
+            KEY, prev_latent, prev_logw, children, transition, time,
+            None, 1, "vmap", chunk_target=4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_marginals_match_exact_categorical(self):
+        """Identical children: every lane's draw is iid from the exact
+        backward categorical - empirical frequencies match softmax of
+        log w_j + log p(child | parent_j)."""
+        Kp, C = 8, 8192
+        transition = lgssm.Transition.create(A, np.sqrt(Q))
+        kx, kw = jax.random.split(jax.random.PRNGKey(4))
+        prev_latent = jax.random.normal(kx, (1, Kp))
+        prev_logw = jax.random.normal(kw, (1, Kp))
+        child_val = 0.3
+        children = jnp.full((1, C), child_val)
+        time = smoothing.TimeIndex(jnp.asarray(1, jnp.int32))
+        idx = smoothing._chunked_pairwise_backward_indices(
+            KEY, prev_latent, prev_logw, children, transition, time,
+            None, 1, "broadcast", chunk_target=2)     # [1, C, 1]
+        lp = jax.scipy.stats.norm.logpdf(
+            child_val, A * prev_latent[0], np.sqrt(Q))
+        probs = np.asarray(jax.nn.softmax(lp + prev_logw[0]))
+        emp = np.array([(np.asarray(idx[0, :, 0]) == j).mean()
+                        for j in range(Kp)])
+        np.testing.assert_allclose(emp, probs, atol=0.02)
+
+    def test_paris_routes_through_chunked_above_wall(self, monkeypatch):
+        """Force the dense wall to zero: paris must still match the RTS
+        smoothed sum (the streamed path is the same exact categorical)."""
+        monkeypatch.setattr(smoothing, "PAIRWISE_DENSE_MAX_BYTES", 0)
+        obs = _observations()
+        out = smoothing.paris(
+            obs, *_components(), K,
+            h=lambda xp, xc, t: xc, h0=lambda x0: x0, key=KEY)
+        est = np.asarray(out["smoothed"])
+        for b in range(B):
+            sm, _, _ = _exact_moments(np.asarray(obs[:, b], np.float64))
+            assert abs(est[b] - sm.sum()) < 0.35, (b, est[b], sm.sum())
