@@ -301,3 +301,22 @@ class TestStructure:
         with pytest.raises(ValueError, match="observations"):
             rbpf.rbpf(jnp.zeros((3, 2, 1, 1)), num_particles=4,
                       key=KEY, **comps)
+
+
+def test_psd_inverse_small_matches_cholesky():
+    """The closed-form Do<=3 solves (the tiny-Cholesky-trap bypass)
+    match the generic factorization route on random PSD batches."""
+    import numpy as np
+    from aesmc_tpu.rbpf import _psd_inverse_small
+    rng = np.random.RandomState(0)
+    for do in (1, 2, 3, 4):
+        a = rng.randn(5, 7, do, do)
+        s = jnp.asarray(a @ np.swapaxes(a, -1, -2) + 0.5 * np.eye(do))
+        log_det, inv = _psd_inverse_small(s)
+        s64 = np.asarray(s, np.float64)
+        sign, ref_logdet = np.linalg.slogdet(s64)
+        assert np.all(sign > 0)
+        np.testing.assert_allclose(np.asarray(log_det), ref_logdet,
+                                   rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(inv), np.linalg.inv(s64),
+                                   rtol=2e-4, atol=2e-5)
