@@ -195,7 +195,8 @@ def _broadcast_twist(twist: QuadraticTwist, batch_size: int
 
 
 def make_twisted_components(spec: GaussianSSMSpec, emission,
-                            twist: QuadraticTwist, batch_size: int):
+                            twist: QuadraticTwist, batch_size: int,
+                            num_timesteps=None):
     """Engine components (initial, transition, emission, proposal) for
     the psi-twisted model.
 
@@ -203,8 +204,28 @@ def make_twisted_components(spec: GaussianSSMSpec, emission,
     the engine's ``transition_lp - proposal_lp`` cancels bit-exactly and
     the per-step weight is exactly the twisted incremental weight held
     by the corrected emission.
+
+    `num_timesteps` (when known - `twisted_smc` always passes it)
+    validates that the twist covers exactly T steps: a mismatched twist
+    would otherwise produce silently wrong evidence (traced indexing
+    clamps out-of-range steps; a too-long twist misaligns the
+    psitilde_T = 1 padding row).
     """
+    a_rows = jnp.asarray(twist.A).shape[0]
+    if jnp.asarray(twist.b).shape[0] != a_rows or \
+            jnp.asarray(twist.c).shape[0] != a_rows:
+        raise ValueError(
+            "twist.A/b/c must share their leading (time) length. "
+            f"currently = {jnp.asarray(twist.A).shape[0]}/"
+            f"{jnp.asarray(twist.b).shape[0]}/"
+            f"{jnp.asarray(twist.c).shape[0]}")
+    if num_timesteps is not None and a_rows != num_timesteps:
+        raise ValueError(
+            f"twist covers {a_rows} steps but the observation sequence "
+            f"has {num_timesteps} - build the twist for this T "
+            "(exact_lgssm_twist / learn_twist on the same observations)")
     twist = _broadcast_twist(twist, batch_size)
+    num_steps = a_rows
     vector = twist.vector
     s2 = jnp.square(jnp.asarray(spec.transition_scale))
     s02 = jnp.square(jnp.asarray(spec.initial_scale))
@@ -264,12 +285,24 @@ def make_twisted_components(spec: GaussianSSMSpec, emission,
         x = latents[-1]
         t = _tindex(time)
         # log psitilde_{t+1}(x): integrates the *next* transition kernel
-        # N(mean_fn(x, t+1), s2) against psi_{t+1}.
-        m_next = spec.mean_fn(x, time + 1)
-        lp_tilde = (_reduce(_quad_terms(m_next, s2,
-                                        _pexpand(a_pad[t + 1]),
-                                        _pexpand(b_pad[t + 1])), vector)
-                    + _pexpand(c_pad[t + 1]))
+        # N(mean_fn(x, t+1), s2) against psi_{t+1}. At the FINAL step
+        # psitilde_T = 1 (the zero padding row), so mean_fn is never
+        # asked for the out-of-range time T: the static case skips the
+        # term structurally, the traced case clamps mean_fn's time to
+        # T-1 (its value multiplies into the zero row, but a NaN/inf
+        # from an out-of-range index would survive NaN * 0).
+        x0 = jax.tree_util.tree_leaves(x)[0]
+        if isinstance(time, int) and time + 1 >= num_steps:
+            lp_tilde = jnp.zeros(x0.shape[:2], x0.dtype)
+        else:
+            t_next = (time + 1 if isinstance(time, int) else
+                      jnp.minimum(jnp.asarray(time) + 1, num_steps - 1))
+            m_next = spec.mean_fn(x, t_next)
+            lp_tilde = (_reduce(_quad_terms(m_next, s2,
+                                            _pexpand(a_pad[t + 1]),
+                                            _pexpand(b_pad[t + 1])),
+                                vector)
+                        + _pexpand(c_pad[t + 1]))
         lp_psi = (_reduce(-0.5 * _pexpand(a_pad[t]) * jnp.square(x)
                           + _pexpand(b_pad[t]) * x, vector)
                   + _pexpand(c_pad[t]))
@@ -292,9 +325,10 @@ def twisted_smc(observations, spec: GaussianSSMSpec, emission,
     optimal twist.
     """
     stacked = ainference.stack_observations(observations)
-    batch_size = jax.tree_util.tree_leaves(stacked)[0].shape[1]
+    lead = jax.tree_util.tree_leaves(stacked)[0]
+    batch_size = lead.shape[1]
     initial_, transition_, emission_, proposal_ = make_twisted_components(
-        spec, emission, twist, batch_size)
+        spec, emission, twist, batch_size, num_timesteps=lead.shape[0])
     infer_kwargs.setdefault("return_log_marginal_likelihood", True)
     return ainference.infer(
         "smc", stacked, initial_, transition_, emission_, proposal_,
@@ -347,19 +381,33 @@ def exact_lgssm_twist(observations, initial_mean, initial_scale,
 def _fit_quadratic(x, target, ridge):
     """Least-squares fit of `target` [K] on quadratic features of `x`
     ([K] scalar or [K, D] vector): returns (A [.,D?], b, c) with A
-    clamped >= 0 so the twisted kernels stay proper."""
-    if x.ndim == 1:
-        phi = jnp.stack([jnp.square(x), x, jnp.ones_like(x)], axis=1)
-        d = 1
-    else:
-        d = x.shape[-1]
-        phi = jnp.concatenate(
-            [jnp.square(x), x, jnp.ones_like(x[:, :1])], axis=1)
+    clamped >= 0 so the twisted kernels stay proper.
+
+    Robustness (ADVICE r3): a (near-)degenerate particle cloud - e.g.
+    post-collapse duplicated particles with ridge=0 - makes the Gram
+    singular; non-finite solves fall back to the ZERO twist row instead
+    of propagating NaN parameters into later ADP iterations. And (b, c)
+    are REFIT with A held at its clamped value, so the returned triple
+    is the constrained least-squares fit when the positivity clamp
+    binds (identical to the joint fit when it doesn't)."""
+    xm = x[:, None] if x.ndim == 1 else x
+    d = xm.shape[-1]
+    phi = jnp.concatenate(
+        [jnp.square(xm), xm, jnp.ones_like(xm[:, :1])], axis=1)
     gram = phi.T @ phi + ridge * jnp.eye(phi.shape[1], dtype=x.dtype)
     theta = jnp.linalg.solve(gram, phi.T @ target)
+    theta = jnp.where(jnp.all(jnp.isfinite(theta)), theta,
+                      jnp.zeros_like(theta))
     a_fit = jnp.maximum(-2.0 * theta[:d], 0.0)
-    b_fit = theta[d:2 * d]
-    c_fit = theta[-1]
+    # Refit (b, c) given A: target + A/2 x^2 ~= b x + c.
+    resid = target + 0.5 * jnp.sum(jnp.square(xm) * a_fit, axis=1)
+    phi2 = jnp.concatenate([xm, jnp.ones_like(xm[:, :1])], axis=1)
+    gram2 = phi2.T @ phi2 + ridge * jnp.eye(d + 1, dtype=x.dtype)
+    theta2 = jnp.linalg.solve(gram2, phi2.T @ resid)
+    theta2 = jnp.where(jnp.all(jnp.isfinite(theta2)), theta2,
+                       jnp.zeros_like(theta2))
+    b_fit = theta2[:d]
+    c_fit = theta2[-1]
     if x.ndim == 1:
         return a_fit[0], b_fit[0], c_fit
     return a_fit, b_fit, c_fit

@@ -229,3 +229,78 @@ class TestLearnTwist:
             z1 = np.array([float(run(k, learned)) for k in keys])
             assert z1.var() < 0.5 * z0.var(), (z0.var(), z1.var())
             assert z1.mean() > z0.mean() - 0.05, (z0.mean(), z1.mean())
+
+
+class TestRobustness:
+    """ADVICE r3 items: T-mismatch validation, final-step time-indexed
+    mean_fn safety, degenerate-cloud twist fitting."""
+
+    def test_twist_length_mismatch_raises(self):
+        observations, emission, spec = _lgssm_setup(T=8)
+        wrong = twisted.QuadraticTwist.zeros(5, 3)
+        with pytest.raises(ValueError, match="covers 5 steps"):
+            twisted.twisted_smc(observations, spec, emission, wrong,
+                                num_particles=8, key=jax.random.PRNGKey(0))
+
+    def test_mismatched_abc_lengths_raise(self):
+        observations, emission, spec = _lgssm_setup(T=6)
+        tw = twisted.QuadraticTwist.zeros(6, 3)
+        bad = twisted.QuadraticTwist(A=tw.A, b=tw.b[:4], c=tw.c)
+        with pytest.raises(ValueError, match="leading"):
+            twisted.twisted_smc(observations, spec, emission, bad,
+                                num_particles=8, key=jax.random.PRNGKey(0))
+
+    def test_time_indexed_mean_fn_final_step(self):
+        """A mean_fn that INDEXES a [T] coefficient array by time: the
+        final step must not read index T (the psitilde term is skipped
+        structurally / clamped onto the zero row)."""
+        T, B = 5, 2
+        coef = jnp.asarray([0.9, 0.8, 0.7, 0.6, 0.5])
+        initial = lgssm.Initial(loc=0.0, scale=1.0)
+        emission = lgssm.Emission.create(C_EM, S_EM)
+        obs = jax.random.normal(jax.random.PRNGKey(3), (T, B))
+        spec = twisted.GaussianSSMSpec(
+            initial_loc=0.0, initial_scale=1.0, transition_scale=S_TR,
+            mean_fn=lambda x, t: coef[jnp.asarray(t)] * x)
+        tw = twisted.QuadraticTwist.zeros(T, B)
+        out = twisted.twisted_smc(obs, spec, emission, tw,
+                                  num_particles=16,
+                                  key=jax.random.PRNGKey(1))
+        assert np.all(np.isfinite(np.asarray(
+            out["log_marginal_likelihood"])))
+
+    def test_single_timestep_static_final(self):
+        """T=1: the (static time=0) emission is also the final step -
+        previously mean_fn was called at the out-of-range time 1."""
+        observations, emission, spec = _lgssm_setup(T=1)
+        tw = twisted.QuadraticTwist.zeros(1, 3)
+        out = twisted.twisted_smc(observations, spec, emission, tw,
+                                  num_particles=16,
+                                  key=jax.random.PRNGKey(1))
+        assert np.all(np.isfinite(np.asarray(
+            out["log_marginal_likelihood"])))
+
+    def test_fit_quadratic_degenerate_cloud_stays_finite(self):
+        """Duplicated particles + ridge=0: the Gram is singular; the fit
+        must fall back to the zero row, not emit NaN parameters."""
+        from aesmc_tpu.twisted import _fit_quadratic
+        x = jnp.full((64,), 1.3)
+        target = jnp.full((64,), -0.7)
+        a, b, c = _fit_quadratic(x, target, 0.0)
+        assert np.all(np.isfinite([float(a), float(b), float(c)]))
+        assert float(a) >= 0.0
+
+    def test_fit_quadratic_constrained_refit(self):
+        """When the positivity clamp binds (convex-up target), (b, c)
+        are refit under A=0: the result is the best AFFINE fit, not the
+        joint fit's stale (b, c)."""
+        from aesmc_tpu.twisted import _fit_quadratic
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(256).astype(np.float32))
+        target = 0.5 * jnp.square(x) + 0.3 * x - 0.1   # convex-up
+        a, b, c = _fit_quadratic(x, target, 0.0)
+        assert float(a) == 0.0
+        xm = np.asarray(x)
+        phi = np.stack([xm, np.ones_like(xm)], 1)
+        bc = np.linalg.lstsq(phi, np.asarray(target), rcond=None)[0]
+        np.testing.assert_allclose([float(b), float(c)], bc, atol=1e-4)
