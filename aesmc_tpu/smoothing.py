@@ -145,7 +145,12 @@ def _chunked_pairwise_backward_indices(key, prev_latent, prev_log_weight,
     if chunk_target is None:
         chunk_target = max(
             1, PAIRWISE_CHUNK_BYTES // (4 * batch_size * c_children * n))
-    chunk = _chunk_size(k, min(int(chunk_target), k))
+    # Largest divisor of K <= target. NOT `_chunk_size`: its
+    # small-divisor fallback returns K itself, which would silently
+    # rebuild the full dense tile here (caught at K=131,072 where the
+    # byte budget pushes the target below that fallback's floor).
+    target = max(1, min(int(chunk_target), k))
+    chunk = max(d for d in range(1, target + 1) if k % d == 0)
     n_chunks = k // chunk
 
     parents_x = jax.tree_util.tree_map(
