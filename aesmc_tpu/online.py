@@ -56,8 +56,8 @@ from .inference import TimeIndex
 
 __all__ = [
     "OnlineFilterState", "make_online_filter", "log_marginal_likelihood",
-    "effective_sample_size", "split_step_keys", "export_step",
-    "load_step",
+    "effective_sample_size", "split_step_keys", "batched_steps",
+    "export_step", "load_step",
 ]
 
 
@@ -611,6 +611,36 @@ def make_online_filter(initial,
         return new_state, info
 
     return init_fn, step_fn
+
+
+def batched_steps(step_fn, scan_unroll: int = 1):
+    """Micro-batched serving: S buffered observations in ONE dispatch.
+
+    Wraps a `step_fn` from `make_online_filter` into
+    `batched(filter_state, observations, keys) -> (filter_state,
+    infos)` where `observations` is an `[S, batch, ...]` pytree and
+    `keys` is `[S]` step keys (e.g. rows of `split_step_keys`); the S
+    updates run inside one `lax.scan`, so a deployment whose latency
+    floor is the per-dispatch RPC (e.g. a tunneled accelerator: ~28 ms
+    relay vs ~0.25 ms of device compute at the headline shape - the
+    measured 94% dispatch overhead, BENCH_NOTES "serving") amortizes
+    that floor over S observations at the cost of S-observation
+    batching delay. `infos` carries every per-step info with a leading
+    `[S]` axis, so anomaly scores (`log_pred`) remain per-observation.
+
+    Semantics: identical update arithmetic to S sequential `step_fn`
+    calls (same keys -> same resampling branches and ancestors; values
+    agree to XLA fusion rounding). Jit the result once per S;
+    `donate_argnums=0` applies as usual.
+    """
+    def batched(filter_state, observations, keys):
+        def body(st, inp):
+            obs_t, k_t = inp
+            st, info = step_fn(st, obs_t, k_t)
+            return st, info
+        return jax.lax.scan(body, filter_state, (observations, keys),
+                            unroll=scan_unroll)
+    return batched
 
 
 def export_step(step_fn, filter_state, observation, key, platforms=None):

@@ -324,6 +324,42 @@ def main():
         f"observation = {1/dt_serve:.0f} updates/s = "
         f"{B*K/dt_serve/1e6:.1f} M particle-steps/s streamed")
 
+    # Micro-batched serving (S observations buffered into ONE dispatch
+    # via online.batched_steps): amortizes the per-dispatch floor -
+    # on this box ~94% of the per-observation number above is the
+    # tunnel relay RPC, not compute (BENCH_NOTES "serving").
+    S = 8
+    batched = jax.jit(online.batched_steps(step_fn), donate_argnums=0)
+    obs_buf = jnp.stack([obs[(1 + i) % T] for i in range(S)])
+    fs = jax.jit(init_fn)(obs[0], serve_keys[0])
+    kbuf = lambda i: serve_keys[1 + ((i * S + jnp.arange(S)) % 250)]
+    fs, info_mb = batched(fs, obs_buf, kbuf(0))             # compile
+    jnp.asarray(info_mb["log_pred"]).block_until_ready()
+    m_mb = 40
+    t0 = time.time()
+    for i in range(m_mb):
+        fs, info_mb = batched(fs, obs_buf, kbuf(1 + i))
+    float(info_mb["log_pred"][-1, 0])
+    dt_mb = (time.time() - t0) / (m_mb * S)
+    log(f"serving micro-batched S={S}: {dt_mb*1e3:.2f} ms/observation "
+        f"({1/dt_mb:.0f} updates/s)")
+
+    # Device-plane serving step (tunnel excluded): 200 steps inside one
+    # jit, one fetch - the per-update compute a local deployment pays.
+    dev_chain = 200
+    dev_keys = serve_keys[:dev_chain]
+    dev_obs = jnp.stack([obs[i % T] for i in range(dev_chain)])
+    dev_run = jax.jit(online.batched_steps(step_fn))
+    fs = jax.jit(init_fn)(obs[0], serve_keys[0])
+    fs, _ = dev_run(fs, dev_obs, dev_keys)                  # compile
+    jnp.asarray(fs.log_weight).block_until_ready()
+    t0 = time.time()
+    fs, info_dev = dev_run(fs, dev_obs, dev_keys)
+    float(info_dev["log_pred"][-1, 0])
+    dt_dev = (time.time() - t0 - 0.028) / dev_chain         # one relay RPC
+    log(f"serving device-plane: {dt_dev*1e3:.3f} ms/step "
+        f"(200-step scan, single fetch, 28 ms relay subtracted)")
+
     vs_baseline = None
     if BASELINE_FILE.exists():
         baseline = json.loads(BASELINE_FILE.read_text())
@@ -347,6 +383,8 @@ def main():
         "tmc_train_steps_per_sec": 1 / dt3,
         "soft_1m_train_ms_per_step": dt5 * 1e3,
         "serving_ms_per_observation": dt_serve * 1e3,
+        "serving_microbatch8_ms_per_observation": dt_mb * 1e3,
+        "serving_device_ms_per_step": dt_dev * 1e3,
         "kernel_verify_ok": verify_ok,
     }))
 

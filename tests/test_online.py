@@ -572,3 +572,59 @@ class TestStreamingParis:
             online.make_online_filter(*_components(), K,
                                       paris_h=lambda xp, xc, t: xc,
                                       paris_backward="bogus")
+
+
+class TestBatchedSteps:
+    """Micro-batched serving dispatch (online.batched_steps): S steps in
+    one lax.scan must reproduce S sequential step_fn calls."""
+
+    def test_matches_sequential_steps(self):
+        obs = _observations()
+        init_fn, step_fn = online.make_online_filter(
+            *_components(), K, return_ancestors=True)
+        step_keys = online.split_step_keys(KEY, T)
+
+        fs_seq = init_fn(obs[0], step_keys[0])
+        seq_infos = []
+        for t in range(1, T):
+            fs_seq, info = step_fn(fs_seq, obs[t], step_keys[t])
+            seq_infos.append(info)
+
+        batched = jax.jit(online.batched_steps(step_fn))
+        fs_b = init_fn(obs[0], step_keys[0])
+        fs_b, infos = batched(fs_b, obs[1:], step_keys[1:])
+
+        np.testing.assert_array_equal(
+            np.asarray(infos["ancestral_index"]),
+            np.stack([np.asarray(i["ancestral_index"])
+                      for i in seq_infos]))
+        np.testing.assert_allclose(
+            np.asarray(infos["log_pred"]),
+            np.stack([np.asarray(i["log_pred"]) for i in seq_infos]),
+            rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs_b)),
+            np.asarray(online.log_marginal_likelihood(fs_seq)),
+            rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(fs_b.latent),
+                                   np.asarray(fs_seq.latent),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_chunked_stream(self):
+        """Feeding the stream in S=4 micro-batches == one batch of 11."""
+        obs = _observations()
+        init_fn, step_fn = online.make_online_filter(*_components(), K)
+        step_keys = online.split_step_keys(KEY, T)
+        batched = online.batched_steps(step_fn)
+
+        fs_a = init_fn(obs[0], step_keys[0])
+        fs_a, _ = jax.jit(batched)(fs_a, obs[1:], step_keys[1:])
+
+        fs_b = init_fn(obs[0], step_keys[0])
+        for lo, hi in ((1, 5), (5, 9), (9, 12)):
+            fs_b, _ = batched(fs_b, obs[lo:hi], step_keys[lo:hi])
+
+        np.testing.assert_allclose(
+            np.asarray(online.log_marginal_likelihood(fs_a)),
+            np.asarray(online.log_marginal_likelihood(fs_b)),
+            rtol=2e-5, atol=2e-5)
