@@ -338,7 +338,8 @@ _BELOW_ONE = float(_np.nextafter(_np.float32(1.0), _np.float32(0.0)))
 
 def _make_window_kernel(num_values: int, emit_idx: bool,
                         kp_real=None, range_sum: bool = False,
-                        hbm_tiles_per_chunk=None):
+                        hbm_tiles_per_chunk=None, windowed_cap=None,
+                        rc_total=None):
     """v5: the precomputed-window kernel family (round-2 redesign).
 
     Three modes sharing one structure:
@@ -362,13 +363,28 @@ def _make_window_kernel(num_values: int, emit_idx: bool,
     pipeline double-buffers - the "batched DMA-out of output tiles".
     Replaces the v1 two-cursor HBM merge above the v5 VMEM cap (same
     windows, no serial cursors, no per-chunk re-DMA of the CDF).
+
+    `windowed_cap` (round 4, with `hbm_tiles_per_chunk`) bounds the
+    CDF-side scratch at `windowed_cap` ROWS per array instead of the
+    whole row: a sliding window [base, base + cap) of the CDF-side
+    arrays is kept resident, re-DMA'd ("re-based") whenever a tile's
+    window falls outside it. Window starts are monotone (positions are
+    sorted in every mode), so the main path re-bases ~once per chunk
+    and the whole-row 96 MB scratch collapse at 8M particles (VMEM
+    oversubscription, BENCH_NOTES round-3 v5-HBM sweep) disappears -
+    scratch is a few MB at ANY K. Degenerate weight layouts (a chunk's
+    positions spanning many CDF rows) only add re-bases: each forward
+    jump is correct by construction. Requires `rc_total` (static global
+    CDF row count) for the window-extension bound.
     """
     return _window_kernel_impl(num_values, emit_idx, kp_real, range_sum,
-                               hbm_tiles_per_chunk)
+                               hbm_tiles_per_chunk, windowed_cap,
+                               rc_total)
 
 
 def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum,
-                        hbm_tiles_per_chunk=None):
+                        hbm_tiles_per_chunk=None, windowed_cap=None,
+                        rc_total=None):
     """See `_make_window_kernel`. Original v5 rationale:
 
     perf_probe_r3.py isolated the v1 merge's cost to its cross-lane ops:
@@ -430,25 +446,63 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum,
             # CDF-side arrays arrive as full [B*Rc, 128] HBM refs; DMA
             # this batch row's slice into single-buffered scratch ONCE
             # (first chunk of the row - scratch persists across the
-            # sequential chunk grid dimension).
+            # sequential chunk grid dimension). Windowed mode instead
+            # keeps a sliding [base, base + cap) row window resident.
             scratch = refs[n_outs:]
             n_c = (1 if range_sum else 2) + num_values
             c_scratch = scratch[:n_c]
             dma_sems = scratch[n_c]
-            rc = c_scratch[0].shape[0]
             hbm_srcs = ([cdf_ref] if range_sum
                         else [cdf_ref, prev_ref]) + v_refs
             b = pl.program_id(0)
 
-            @pl.when(pl.program_id(1) == 0)
-            def _():
-                copies = [pltpu.make_async_copy(
-                    src.at[pl.ds(b * rc, rc), :], c_scratch[q],
-                    dma_sems.at[q]) for q, src in enumerate(hbm_srcs)]
-                for c in copies:
-                    c.start()
-                for c in copies:
-                    c.wait()
+            if windowed_cap is None:
+                rc = c_scratch[0].shape[0]
+
+                @pl.when(pl.program_id(1) == 0)
+                def _():
+                    copies = [pltpu.make_async_copy(
+                        src.at[pl.ds(b * rc, rc), :], c_scratch[q],
+                        dma_sems.at[q]) for q, src in enumerate(hbm_srcs)]
+                    for c in copies:
+                        c.start()
+                    for c in copies:
+                        c.wait()
+
+                ensure = None
+            else:
+                rc = rc_total
+                cap = windowed_cap
+                base_ref = scratch[n_c + 1]
+
+                @pl.when(pl.program_id(1) == 0)
+                def _():
+                    # Poison the base at each new batch row so the
+                    # first access re-bases (scratch holds the previous
+                    # row's window).
+                    base_ref[0, 0] = jnp.int32(-2 * cap)
+
+                def ensure(wstart):
+                    """Make rows [wstart, wstart + w_tile) resident;
+                    return wstart's scratch-relative row offset."""
+                    base = base_ref[0, 0]
+                    miss = jnp.logical_or(
+                        wstart < base, wstart + w_tile > base + cap)
+
+                    @pl.when(miss)
+                    def _():
+                        nb = jnp.minimum(wstart, jnp.int32(rc - cap))
+                        base_ref[0, 0] = nb
+                        copies = [pltpu.make_async_copy(
+                            src.at[pl.ds(b * rc + nb, cap), :],
+                            c_scratch[q], dma_sems.at[q])
+                            for q, src in enumerate(hbm_srcs)]
+                        for c in copies:
+                            c.start()
+                        for c in copies:
+                            c.wait()
+
+                    return wstart - base_ref[0, 0]
 
             if range_sum:
                 cdf_ref = c_scratch[0]
@@ -459,6 +513,7 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum,
             n_tiles_p = hbm_tiles_per_chunk
             tile0 = pl.program_id(1) * hbm_tiles_per_chunk
         else:
+            ensure = None
             rc = cdf_ref.shape[0]
             # starts_ref always exists (unlike idx_ref/vout_refs, which
             # depend on emit_idx/num_values) and has one entry per
@@ -484,13 +539,17 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum,
                 lower_tile = lower_ref[pl.ds(t * w_tile, w_tile), :]
 
             def window(wstart):
-                cum_tile = cdf_ref[pl.ds(wstart, w_tile), :]
-                v_tiles = [vr[pl.ds(wstart, w_tile), :] for vr in v_refs]
+                # Windowed-scratch mode translates the global row
+                # offset to its resident slot (re-basing on a miss);
+                # the other modes read rows in place.
+                ws = wstart if ensure is None else ensure(wstart)
+                cum_tile = cdf_ref[pl.ds(ws, w_tile), :]
+                v_tiles = [vr[pl.ds(ws, w_tile), :] for vr in v_refs]
                 cum_rows = [jnp.broadcast_to(cum_tile[c:c + 1, :],
                                              (LANE, LANE))
                             for c in range(w_tile)]
                 if not range_sum:
-                    prev_tile = prev_ref[pl.ds(wstart, w_tile), :]
+                    prev_tile = prev_ref[pl.ds(ws, w_tile), :]
                     prev_rows = [jnp.broadcast_to(prev_tile[c:c + 1, :],
                                                   (LANE, LANE))
                                  for c in range(w_tile)]
@@ -621,8 +680,21 @@ def _hbm_chunk_count(kp: int) -> int:
     return max(1, -(-kp // LARGE_K_CHUNK))
 
 
+def _windowed_cap_rows(rc: int, chunks: int) -> int:
+    """Sliding-window scratch rows for the windowed v5-HBM layout:
+    ~4 chunks' worth of CDF rows (margin for weight skew - under
+    uniform weights one chunk of positions spans ~rc/chunks rows, so
+    the main path re-bases once every ~3 chunks), floored at 512 rows
+    (tiny DMAs are latency-bound), MERGE_ROWS-aligned, capped at the
+    whole row."""
+    per_chunk = -(-rc // chunks)
+    cap = _round_up(max(512, 4 * per_chunk), MERGE_ROWS)
+    return min(cap, _round_up(rc, MERGE_ROWS))
+
+
 def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
-                 pos=None, lower=None, hbm_chunks=None):
+                 pos=None, lower=None, hbm_chunks=None,
+                 hbm_windowed: bool = False):
     """Shared prep + pallas_call for the v5 window-kernel modes.
 
     `hbm_chunks` switches to the v5-HBM layout (CDF-side arrays in HBM,
@@ -630,6 +702,9 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
     chunked over a (B, chunks) grid with pipeline-double-buffered
     blocks) - the 2M-8M single-chip regime."""
     interpret = interpret or FORCE_INTERPRET
+    if hbm_windowed and hbm_chunks is None:
+        raise ValueError("hbm_windowed requires the v5-HBM layout "
+                         "(hbm_chunks)")
     range_sum = lower is not None
     systematic = u is not None
     batch_size, kc = cdf.shape
@@ -767,7 +842,7 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
         compiler_params = (pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
             if vmem_bytes > 14 * 1024 * 1024 else None)
-    else:
+    elif not hbm_windowed:
         # Single-buffered scratch for the CDF-side row + small chunked
         # pipeline blocks; 110 MB scope covers 8M particles at one
         # value column (3 x 32 MB scratch).
@@ -775,13 +850,31 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
                           [pltpu.SemaphoreType.DMA((n_c,))])
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024)
+    else:
+        # Windowed: sliding CDF-side window of `cap` rows + an SMEM
+        # base cursor - scratch stays a few MB at ANY particle count
+        # (the whole-row layout collapses at 8M: 96 MB scratch
+        # oversubscribes VMEM, BENCH_NOTES round-3 v5-HBM sweep).
+        # An int `hbm_windowed` overrides the cap (tests force tiny
+        # windows to exercise re-basing at small K; probes sweep it).
+        cap = (_windowed_cap_rows(rc, hbm_chunks)
+               if hbm_windowed is True
+               else min(_round_up(int(hbm_windowed), MERGE_ROWS),
+                        _round_up(rc, MERGE_ROWS)))
+        scratch_shapes = ([pltpu.VMEM((cap, LANE), jnp.float32)] * n_c +
+                          [pltpu.SemaphoreType.DMA((n_c,)),
+                           pltpu.SMEM((1, 1), jnp.int32)])
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     outputs = pl.pallas_call(
         _make_window_kernel(num_values, emit_idx,
                             kp_real=kp if systematic else None,
                             range_sum=range_sum,
                             hbm_tiles_per_chunk=(
                                 None if hbm_chunks is None
-                                else (rp // hbm_chunks) // MERGE_ROWS)),
+                                else (rp // hbm_chunks) // MERGE_ROWS),
+                            windowed_cap=(cap if hbm_windowed else None),
+                            rc_total=rc),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -804,7 +897,8 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
 def systematic_search_gather_pallas(cdf, u, kp: int, values=(), *,
                                     emit_idx: bool = True,
                                     interpret: bool = False,
-                                    hbm_chunks=None):
+                                    hbm_chunks=None,
+                                    hbm_windowed: bool = False):
     """v5 systematic fast path: fused inverse-CDF search + gather with
     IN-KERNEL positions pos[b, j] = (u[b] + j) / kp (the systematic grid
     of `resampling.resampling_positions`, resampling.py:166-168).
@@ -814,13 +908,14 @@ def systematic_search_gather_pallas(cdf, u, kp: int, values=(), *,
     [gathered...]). `hbm_chunks` selects the v5-HBM 2M-8M layout.
     """
     return _window_call(cdf, values, kp, emit_idx, interpret, u=u,
-                        hbm_chunks=hbm_chunks)
+                        hbm_chunks=hbm_chunks, hbm_windowed=hbm_windowed)
 
 
 def sorted_search_gather_pallas(cdf, pos, values=(), *,
                                 emit_idx: bool = True,
                                 interpret: bool = False,
-                                hbm_chunks=None):
+                                hbm_chunks=None,
+                                hbm_windowed: bool = False):
     """v5 generalization to ARBITRARY sorted positions (stratified,
     multinomial, soft): same precomputed-window kernel, positions loaded
     from VMEM (W extra relayouts per tile vs the systematic mode; still
@@ -828,20 +923,22 @@ def sorted_search_gather_pallas(cdf, pos, values=(), *,
     `searchsorted_sorted_cdf_pallas` standard path; `hbm_chunks`
     selects the v5-HBM 2M-8M layout."""
     return _window_call(cdf, values, pos.shape[1], emit_idx, interpret,
-                        pos=pos, hbm_chunks=hbm_chunks)
+                        pos=pos, hbm_chunks=hbm_chunks,
+                        hbm_windowed=hbm_windowed)
 
 
 def range_sum_pallas(slots, lower, upper, values, *,
                      emit_idx: bool = False,
                      interpret: bool = False,
-                     hbm_chunks=None):
+                     hbm_chunks=None,
+                     hbm_windowed: bool = False):
     """v5 segmented sum: out_j = sum of values over sorted `slots` in
     [lower_j, upper_j) for sorted non-overlapping ranges - the
     transposed-merge backward of the fused gather, in window-kernel
     form. `hbm_chunks` selects the v5-HBM 2M-8M layout."""
     return _window_call(slots, values, upper.shape[1], emit_idx,
                         interpret, pos=upper, lower=lower,
-                        hbm_chunks=hbm_chunks)
+                        hbm_chunks=hbm_chunks, hbm_windowed=hbm_windowed)
 
 
 def searchsorted_cdf_pallas(log_weight, pos, values=(), *,

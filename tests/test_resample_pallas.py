@@ -411,3 +411,102 @@ def test_resample_and_gather_emit_idx_false_interpret():
                                    atol=1e-6)
     finally:
         resample_pallas.FORCE_INTERPRET = False
+
+
+class TestV5HbmWindowed:
+    """Round-4 windowed-scratch v5-HBM layout: a sliding [base,
+    base+cap) CDF-row window replaces the whole-row scratch (which
+    collapses at 8M particles, 96 MB VMEM). Tiny explicit caps force
+    many re-bases at test sizes; results must be bit-identical to the
+    unwindowed kernels."""
+
+    def _cdf(self, B, K, scale=1.0, seed=0):
+        rng = np.random.RandomState(seed)
+        logw = (rng.randn(B, K) * scale).astype(np.float32)
+        cdf = np.asarray(resampling._normalized_cumsum(jnp.asarray(logw)))
+        return logw, cdf
+
+    def test_systematic_windowed_interpret(self):
+        B, K, C = 2, 4096, 4
+        logw, cdf = self._cdf(B, K)
+        rng = np.random.RandomState(1)
+        u = rng.rand(B, 1).astype(np.float32)
+        v = rng.randn(B, K).astype(np.float32)
+        pos = np.minimum((u + np.arange(K, dtype=np.float32)) / K,
+                         np.float32(resample_pallas._BELOW_ONE))
+        want = np.clip(np.stack([
+            np.searchsorted(cdf[b], pos[b], side="right")
+            for b in range(B)]), 0, K - 1)
+        idx, (g,) = resample_pallas.systematic_search_gather_pallas(
+            jnp.asarray(cdf), jnp.asarray(u), K, (jnp.asarray(v),),
+            interpret=True, hbm_chunks=C, hbm_windowed=8)
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.take_along_axis(v, want, 1))
+
+    def test_sorted_windowed_interpret(self):
+        B, K, C = 2, 4096, 4
+        logw, cdf = self._cdf(B, K, seed=5)
+        rng = np.random.RandomState(6)
+        pos = np.sort(rng.rand(B, K).astype(np.float32), axis=1)
+        v = rng.randn(B, K).astype(np.float32)
+        want = np.clip(np.stack([
+            np.searchsorted(cdf[b], pos[b], side="right")
+            for b in range(B)]), 0, K - 1)
+        idx, (g,) = resample_pallas.sorted_search_gather_pallas(
+            jnp.asarray(cdf), jnp.asarray(pos), (jnp.asarray(v),),
+            interpret=True, hbm_chunks=C, hbm_windowed=8)
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.take_along_axis(v, want, 1))
+
+    def test_degenerate_weights_windowed_interpret(self):
+        # All mass on one particle: every chunk re-bases BACKWARD onto
+        # the same early CDF rows after the extension loop runs off the
+        # window - exercises both re-base directions.
+        B, K, C = 1, 4096, 4
+        logw = np.full((B, K), -1e9, np.float32)
+        logw[:, 77] = 0.0
+        cdf = np.asarray(resampling._normalized_cumsum(jnp.asarray(logw)))
+        u = np.full((B, 1), 0.25, np.float32)
+        v = np.random.RandomState(7).randn(B, K).astype(np.float32)
+        idx, (g,) = resample_pallas.systematic_search_gather_pallas(
+            jnp.asarray(cdf), jnp.asarray(u), K, (jnp.asarray(v),),
+            interpret=True, hbm_chunks=C, hbm_windowed=8)
+        np.testing.assert_array_equal(np.asarray(idx),
+                                      np.full((B, K), 77))
+        np.testing.assert_array_equal(
+            np.asarray(g), np.broadcast_to(v[:, 77:78], (B, K)))
+
+    def test_range_sum_windowed_interpret(self):
+        B, K, C = 2, 4096, 4
+        logw, cdf = self._cdf(B, K, seed=8)
+        rng = np.random.RandomState(9)
+        u = rng.rand(B, 1).astype(np.float32)
+        pos = np.minimum((u + np.arange(K, dtype=np.float32)) / K,
+                         np.float32(resample_pallas._BELOW_ONE))
+        idx = np.clip(np.stack([
+            np.searchsorted(cdf[b], pos[b], side="right")
+            for b in range(B)]), 0, K - 1)
+        gint = np.round(rng.randn(B, K) * 3).astype(np.float32)
+        want = np.stack([np.bincount(idx[b], weights=gint[b],
+                                     minlength=K) for b in range(B)])
+        lower = np.concatenate([np.zeros_like(cdf[:, :1]), cdf[:, :-1]], 1)
+        upper = np.concatenate([cdf[:, :-1],
+                                np.full_like(cdf[:, :1], 2.0)], 1)
+        _, (got,) = resample_pallas.range_sum_pallas(
+            jnp.asarray(pos), jnp.asarray(lower), jnp.asarray(upper),
+            [jnp.asarray(gint)], interpret=True, hbm_chunks=C,
+            hbm_windowed=8)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      want.astype(np.float32))
+
+    def test_auto_cap_covers_row_and_requires_hbm(self):
+        rc = 1024
+        cap = resample_pallas._windowed_cap_rows(rc, 16)
+        assert cap % resample_pallas.MERGE_ROWS == 0
+        assert 4 * (rc // 16) <= cap <= rc
+        with pytest.raises(ValueError, match="hbm_windowed"):
+            resample_pallas.systematic_search_gather_pallas(
+                jnp.zeros((1, 256)), jnp.zeros((1, 1)), 256,
+                (jnp.zeros((1, 256)),), interpret=True, hbm_windowed=8)
