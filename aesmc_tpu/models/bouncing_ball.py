@@ -167,6 +167,36 @@ class Proposal:
                           BatchShapeMode.FULLY_EXPANDED)
 
 
+def gaussian_spec(transition: Transition, initial: Initial = None):
+    """`twisted.GaussianSSMSpec` view of the bouncing-ball dynamics.
+
+    The transition is exactly a diagonal Gaussian around the nonlinear
+    reflection map, so twisted SMC's closed-form Gaussian-kernel trick
+    applies verbatim — this is the "deep model with a non-quadratic
+    optimal twist" regime (the renderer emission makes
+    p(y_{t:T-1} | x_t) non-log-quadratic in x_t).
+    """
+    from .. import twisted
+
+    if initial is None:
+        initial = Initial()
+
+    def mean_fn(prev, time):
+        del time
+        p, v = prev[..., 0], prev[..., 1]
+        raw = p + DT * v
+        return jnp.stack([reflect(raw), v * reflected_velocity_sign(raw)],
+                         axis=-1)
+
+    return twisted.GaussianSSMSpec(
+        initial_loc=jnp.array([0.5, 0.0]),
+        initial_scale=jnp.array([initial.position_scale,
+                                 initial.velocity_scale]),
+        transition_scale=jnp.stack([jnp.exp(transition.log_pos_noise),
+                                    jnp.exp(transition.log_vel_noise)]),
+        mean_fn=mean_fn)
+
+
 def make_model(key=None, num_pixels: int = NUM_PIXELS, hidden: int = 64,
                compute_dtype=None):
     """`compute_dtype='bfloat16'`: bf16 MLP matmul inputs with f32 MXU

@@ -378,10 +378,20 @@ def exact_lgssm_twist(observations, initial_mean, initial_scale,
     return QuadraticTwist(A=A, b=b, c=c)
 
 
-def _fit_quadratic(x, target, ridge):
+def _fit_quadratic(x, target, ridge, weights=None):
     """Least-squares fit of `target` [K] on quadratic features of `x`
     ([K] scalar or [K, D] vector): returns (A [.,D?], b, c) with A
     clamped >= 0 so the twisted kernels stay proper.
+
+    `weights` [K] (normalized) switches to WEIGHTED least squares -
+    the regression under the filter distribution rather than the
+    uniform particle cloud. Under feature misspecification (deep
+    models, where log g is nowhere near quadratic) this is what keeps
+    the ADP iteration stable: the unweighted fit is dominated by
+    far-tail particles whose targets are thousands of nats below the
+    mass of the filter, and the resulting garbage twist moves the next
+    iteration's particles further out - a measured divergence on the
+    bouncing-ball model (per-iteration logZ 726 -> -19k -> -91k).
 
     Robustness (ADVICE r3): a (near-)degenerate particle cloud - e.g.
     post-collapse duplicated particles with ridge=0 - makes the Gram
@@ -392,16 +402,24 @@ def _fit_quadratic(x, target, ridge):
     binds (identical to the joint fit when it doesn't)."""
     xm = x[:, None] if x.ndim == 1 else x
     d = xm.shape[-1]
+    if weights is not None:
+        # sqrt-weight rows; scale so ridge keeps its unweighted meaning
+        # (weights sum to 1, so multiply back by K).
+        sw = jnp.sqrt(weights * weights.shape[0])[:, None]
+    else:
+        sw = jnp.ones_like(xm[:, :1])
     phi = jnp.concatenate(
-        [jnp.square(xm), xm, jnp.ones_like(xm[:, :1])], axis=1)
+        [jnp.square(xm), xm, jnp.ones_like(xm[:, :1])], axis=1) * sw
+    tgt = target * sw[:, 0]
     gram = phi.T @ phi + ridge * jnp.eye(phi.shape[1], dtype=x.dtype)
-    theta = jnp.linalg.solve(gram, phi.T @ target)
+    theta = jnp.linalg.solve(gram, phi.T @ tgt)
     theta = jnp.where(jnp.all(jnp.isfinite(theta)), theta,
                       jnp.zeros_like(theta))
     a_fit = jnp.maximum(-2.0 * theta[:d], 0.0)
     # Refit (b, c) given A: target + A/2 x^2 ~= b x + c.
-    resid = target + 0.5 * jnp.sum(jnp.square(xm) * a_fit, axis=1)
-    phi2 = jnp.concatenate([xm, jnp.ones_like(xm[:, :1])], axis=1)
+    resid = (target + 0.5 * jnp.sum(jnp.square(xm) * a_fit, axis=1)) \
+        * sw[:, 0]
+    phi2 = jnp.concatenate([xm, jnp.ones_like(xm[:, :1])], axis=1) * sw
     gram2 = phi2.T @ phi2 + ridge * jnp.eye(d + 1, dtype=x.dtype)
     theta2 = jnp.linalg.solve(gram2, phi2.T @ resid)
     theta2 = jnp.where(jnp.all(jnp.isfinite(theta2)), theta2,
@@ -414,20 +432,60 @@ def _fit_quadratic(x, target, ridge):
 
 
 def _adp_refit(observations, spec: GaussianSSMSpec, emission, xs,
-               ridge) -> QuadraticTwist:
+               ridge, log_weights=None, fit_jitter: float = 0.0,
+               key=None) -> QuadraticTwist:
     """One backward ADP pass: fit log psi_t to
     ``log g_t + log psitilde_{t+1}`` at the particle locations, t from
     T-1 down to 0 (t=0 hoisted out of the scan, engine-style, so the
-    emission still sees a static `time=0` there)."""
+    emission still sees a static `time=0` there).
+
+    `log_weights` [T, B, K] (the twisted run's per-step pre-resampling
+    weights) switches the regressions to weighted least squares under
+    the filter distribution - see `_fit_quadratic`.
+
+    `fit_jitter > 0` instead CHOOSES the regression design points:
+    multinomial-resample the cloud by those weights, add
+    ``fit_jitter * scale`` Gaussian noise, and fit UNWEIGHTED at the
+    jittered points (targets are re-evaluated there - both log g and
+    log psitilde are closed-form functions of x, so design points are
+    free). This fixes the two failure modes of in-cloud fits on
+    misspecified models: a near-collapsed step gives a one-particle
+    (degenerate) regression, and far-tail particles with targets
+    thousands of nats down otherwise dominate the L2 objective."""
     y = ainference.stack_observations(observations)
     x0 = jax.tree_util.tree_leaves(xs)[0]
     num_timesteps, _, num_particles = x0.shape[:3]
     vector = x0.ndim == 4
     s2 = jnp.square(jnp.asarray(spec.transition_scale))
-    fit = jax.vmap(_fit_quadratic, in_axes=(0, 0, None))
+    fit = jax.vmap(_fit_quadratic, in_axes=(0, 0, None, 0))
+    from .math import exponentiate_and_normalize
+    lw = (log_weights if log_weights is not None
+          else jnp.zeros(x0.shape[:3], x0.dtype))
+    w = exponentiate_and_normalize(lw, dim=-1)
+    jitter = float(fit_jitter)
+    if jitter and key is None:
+        key = jax.random.PRNGKey(0)
+    step_keys = (jax.random.split(key, num_timesteps)
+                 if jitter else jnp.zeros((num_timesteps, 2), jnp.uint32))
 
-    def target_and_fit(carry, x_t, y_t, time):
+    def _design(x_t, lw_t, k, scale):
+        """[B, K(,D)] design points: resample by weight + jitter."""
+        kc, kn = jax.random.split(k)
+        idx = jax.vmap(lambda kk, ll: jax.random.categorical(
+            kk, ll, shape=(num_particles,)))(
+                jax.random.split(kc, lw_t.shape[0]), lw_t)       # [B, K]
+        if vector:
+            xd = jnp.take_along_axis(x_t, idx[..., None], axis=1)
+        else:
+            xd = jnp.take_along_axis(x_t, idx, axis=1)
+        return xd + jitter * scale * jax.random.normal(kn, xd.shape,
+                                                       xd.dtype)
+
+    def target_and_fit(carry, x_t, y_t, w_t, lw_t, time, k, scale):
         a_n, b_n, c_n = carry
+        if jitter:
+            x_t = _design(x_t, lw_t, k, scale)
+            w_t = jnp.full_like(w_t, 1.0 / num_particles)
         g = astate.log_prob(
             emission(latents=[x_t], time=time),
             astate.expand_observation(y_t, num_particles))
@@ -435,11 +493,13 @@ def _adp_refit(observations, spec: GaussianSSMSpec, emission, xs,
         lp_tilde = (_reduce(_quad_terms(m_next, s2, _pexpand(a_n),
                                         _pexpand(b_n)), vector)
                     + _pexpand(c_n))
-        return fit(x_t, g + lp_tilde, ridge)
+        return fit(x_t, g + lp_tilde, ridge, w_t)
 
     def step(carry, inp):
-        y_t, x_t, t = inp
-        fitted = target_and_fit(carry, x_t, y_t, ainference.TimeIndex(t))
+        y_t, x_t, w_t, lw_t, t, k = inp
+        fitted = target_and_fit(carry, x_t, w_t=w_t, lw_t=lw_t, y_t=y_t,
+                                time=ainference.TimeIndex(t), k=k,
+                                scale=spec.transition_scale)
         return fitted, fitted
 
     zslice = jnp.zeros_like(x0[0, :, 0])  # [B(,D)]
@@ -448,10 +508,13 @@ def _adp_refit(observations, spec: GaussianSSMSpec, emission, xs,
     x_rest = jax.tree_util.tree_map(lambda a: a[1:][::-1], xs)
     ts = jnp.arange(1, num_timesteps)[::-1]
     carry1, (a_rev, b_rev, c_rev) = jax.lax.scan(
-        step, (zslice, zslice, zc), (y_rest, x_rest, ts))
+        step, (zslice, zslice, zc),
+        (y_rest, x_rest, w[1:][::-1], lw[1:][::-1], ts,
+         step_keys[1:][::-1]))
     a0, b0, c0 = target_and_fit(
         carry1, jax.tree_util.tree_map(lambda v: v[0], xs),
-        jax.tree_util.tree_map(lambda v: v[0], y), 0)
+        jax.tree_util.tree_map(lambda v: v[0], y), w[0], lw[0], 0,
+        step_keys[0], spec.initial_scale)
     stack = lambda h, r: jnp.concatenate([h[None], r[::-1]], axis=0)
     return QuadraticTwist(A=stack(a0, a_rev), b=stack(b0, b_rev),
                           c=stack(c0, c_rev))
@@ -460,7 +523,12 @@ def _adp_refit(observations, spec: GaussianSSMSpec, emission, xs,
 def learn_twist(observations, spec: GaussianSSMSpec, emission,
                 num_particles: int, key=None, num_iterations: int = 2,
                 init_twist: Optional[QuadraticTwist] = None,
-                ridge: float = 1e-6, **smc_kwargs):
+                ridge: float = 1e-6, weighted: bool = True,
+                damping: float = 0.0,
+                max_precision_ratio: Optional[float] = None,
+                fit_jitter: float = 0.0, keep: str = "last",
+                keep_num_particles: Optional[int] = None,
+                keep_num_seeds: int = 1, **smc_kwargs):
     """Iterated ADP twist learning (psi-APF, Guarniero et al. 2017).
 
     Each iteration runs twisted SMC under the current twist and refits
@@ -470,7 +538,63 @@ def learn_twist(observations, spec: GaussianSSMSpec, emission,
     `if time == 0` emission branches are handled by the hoisted t=0
     fit). Returns ``(twist, info)`` with per-iteration evidence
     estimates in ``info['log_marginal_likelihood']`` `[iters, batch]`.
+
+    Misspecification controls (for models whose optimal twist is NOT
+    log-quadratic - i.e. every model one actually needs twisting for):
+    - `weighted` (default True): regress under the filter distribution
+      (per-step normalized weights) instead of the uniform particle
+      cloud. On exactly-quadratic targets (LGSSM) the fit is exact
+      either way (zero residual), so the one-pass exactness property is
+      unchanged; under misspecification the unweighted fit is dominated
+      by far-tail particles and DIVERGES (measured on bouncing-ball:
+      per-iteration logZ 726 -> -19k -> -91k).
+    - `damping` in [0, 1): geometric step - the new twist is
+      ``(1-damping) * fitted + damping * previous`` (log-quadratics are
+      closed under convex combination and A stays >= 0).
+    - `fit_jitter` (sigma multiples): regress at CHOSEN design points -
+      weight-resampled particles plus ``fit_jitter * scale`` Gaussian
+      noise - instead of the raw cloud. Keeps every per-step regression
+      well-posed even where the filter momentarily collapses to a
+      single surviving particle (a one-particle weighted fit is
+      degenerate and the nan-fallback zeroes that twist row).
+    - `max_precision_ratio` (kappa): clamp each A to
+      ``kappa / transition_scale**2`` so the twisted kernel's standard
+      deviation never shrinks below ``scale / sqrt(1 + kappa)``. A
+      misspecified quadratic fit to a sharply-peaked log g (e.g. a
+      renderer emission) produces curvatures many times the transition
+      precision; if its location is even slightly off, the overconfident
+      twisted kernel proposes nothing near the data and the filter does
+      WORSE than bootstrap (the evidence stays unbiased for any clamped
+      twist - only twist quality is at stake, so the clamp is safe).
+    - `keep='best'`: score EVERY candidate twist (the init twist -
+      zeros = bootstrap - and each iteration's fit) with a fresh
+      twisted run at `keep_num_particles` particles (default:
+      `num_particles`) and return, PER BATCH ROW, the highest-scoring
+      twist (the estimator is unbiased in Z for any twist, so a higher
+      mean log-evidence = a lower-variance twist). Two measured
+      bouncing-ball facts make this the robust choice on deep models:
+      (a) iterations are NOT monotone - iteration 1's twist beats
+      iteration 2's (the twisted run's own particles are worse
+      regression fodder than a tracking bootstrap's); (b) twist
+      rankings DEPEND ON K - at the learning K (2048) bootstrap
+      tracks and outscores the misspecified twist (+1556 vs ~+470),
+      while at the deploy K (128) the twist wins by ~17,000 nats
+      (+306 vs -17,160) - so score at the particle count you intend
+      to deploy via `keep_num_particles`. Since the zero init is
+      scored too, 'best' never returns a twist that scored worse than
+      untwisted SMC. `keep_num_seeds` averages each candidate's score
+      over several runs: a collapsing bootstrap's single-seed score is
+      BIMODAL (measured at K=128: ~+1550 on the ~20% of seeds that
+      track, ~-15,000 otherwise), so one lucky seed can out-score a
+      reliable twist - the mean over a handful of seeds is the
+      low-noise ranking of E[log Zhat], which is what twist quality
+      means. With 'best', ``info['scores']`` `[iters + 1, batch]`
+      holds the (seed-averaged) selection scores and
+      ``info['selected']`` `[batch]` the winning candidate per row
+      (0 = the init twist).
     """
+    if keep not in ("last", "best"):
+        raise ValueError(f"keep must be 'last' or 'best', got {keep!r}")
     if key is None:
         key = jax.random.PRNGKey(0)
     y = ainference.stack_observations(observations)
@@ -481,14 +605,71 @@ def learn_twist(observations, spec: GaussianSSMSpec, emission,
     twist = init_twist if init_twist is not None else QuadraticTwist.zeros(
         num_timesteps, batch_size, dim, dtype=jnp.result_type(float))
 
+    need_lw = weighted or fit_jitter > 0
     log_zs = []
+    twists = []
     for _ in range(num_iterations):
-        key, subkey = jax.random.split(key)
+        twists.append(twist)
+        key, subkey, fit_key = jax.random.split(key, 3)
         out = twisted_smc(
             y, spec, emission, twist, num_particles, key=subkey,
             return_latents=False, return_original_latents=True,
-            **smc_kwargs)
-        twist = _adp_refit(y, spec, emission, out["original_latents"],
-                           ridge)
+            return_log_weights=need_lw, **smc_kwargs)
+        fitted = _adp_refit(
+            y, spec, emission, out["original_latents"], ridge,
+            log_weights=out["log_weights"] if need_lw else None,
+            fit_jitter=fit_jitter, key=fit_key)
+        if damping:
+            fitted = QuadraticTwist(
+                A=(1.0 - damping) * fitted.A + damping * twist.A,
+                b=(1.0 - damping) * fitted.b + damping * twist.b,
+                c=(1.0 - damping) * fitted.c + damping * twist.c)
+        if max_precision_ratio is not None:
+            # Row 0 twists the INITIAL kernel (scale s0), rows 1..T-1
+            # the transition kernel (scale s).
+            s2 = jnp.square(jnp.asarray(spec.transition_scale))
+            s02 = jnp.square(jnp.asarray(spec.initial_scale))
+            kap = jnp.asarray(max_precision_ratio)
+            a_cap = jnp.concatenate(
+                [jnp.broadcast_to(kap / s02, fitted.A[:1].shape),
+                 jnp.broadcast_to(kap / s2, fitted.A[1:].shape)], axis=0)
+            a_new = jnp.minimum(fitted.A, a_cap)
+            # Rescale b with A so the twist MODE (b/A) is preserved
+            # where the cap binds - clamping A alone would leave a
+            # large b acting through a now-weak quadratic, shooting
+            # the twisted-kernel location far past the fitted peak.
+            scale = jnp.where(fitted.A > 0, a_new / jnp.maximum(
+                fitted.A, 1e-30), 1.0)
+            fitted = QuadraticTwist(A=a_new, b=fitted.b * scale,
+                                    c=fitted.c)
+        twist = fitted
         log_zs.append(out["log_marginal_likelihood"])
-    return twist, {"log_marginal_likelihood": jnp.stack(log_zs)}
+    if keep == "last":
+        return twist, {"log_marginal_likelihood": jnp.stack(log_zs)}
+    # keep='best': score every candidate at the DEPLOY particle count,
+    # then select per batch row.
+    twists.append(twist)
+    k_score = (num_particles if keep_num_particles is None
+               else keep_num_particles)
+    scores = []
+    for tw in twists:
+        key, subkey = jax.random.split(key)
+        seed_keys = jax.random.split(subkey, int(keep_num_seeds))
+        lz = jax.vmap(lambda k, t=tw: twisted_smc(
+            y, spec, emission, t, k_score, key=k,
+            return_latents=False, return_log_weight=False,
+            **smc_kwargs)["log_marginal_likelihood"])(seed_keys)
+        scores.append(jnp.mean(lz, axis=0))
+    scores = jnp.stack(scores)                        # [iters + 1, B]
+    sel = jnp.argmax(scores, axis=0)                  # [B]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *twists)
+
+    def pick(arr):                                    # [n, T, B(,D)]
+        i = sel[None, None, :] if arr.ndim == 3 else \
+            sel[None, None, :, None]
+        return jnp.take_along_axis(arr, i, axis=0)[0]
+
+    best = QuadraticTwist(A=pick(stacked.A), b=pick(stacked.b),
+                          c=pick(stacked.c))
+    return best, {"log_marginal_likelihood": jnp.stack(log_zs),
+                  "scores": scores, "selected": sel}

@@ -304,3 +304,142 @@ class TestRobustness:
         phi = np.stack([xm, np.ones_like(xm)], 1)
         bc = np.linalg.lstsq(phi, np.asarray(target), rcond=None)[0]
         np.testing.assert_allclose([float(b), float(c)], bc, atol=1e-4)
+
+
+_BB_CACHE = {}
+
+
+def _bb_setup(T=32, B=4):
+    """Bouncing-ball observations + spec (memoized: the learn runs are
+    the expensive part and several tests share them)."""
+    if (T, B) not in _BB_CACHE:
+        from aesmc_tpu.models import bouncing_ball as bb
+        initial, transition, emission, _ = bb.make_model(
+            jax.random.PRNGKey(0))
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, T, B, key=jax.random.PRNGKey(0))
+        _BB_CACHE[(T, B)] = (obs, emission, bb.gaussian_spec(transition))
+    return _BB_CACHE[(T, B)]
+
+
+def _bb_learned(T=32, B=4, **kwargs):
+    key = (T, B, tuple(sorted(kwargs.items())))
+    if key not in _BB_CACHE:
+        obs, emission, spec = _bb_setup(T, B)
+        _BB_CACHE[key] = twisted.learn_twist(
+            obs, spec, emission, key=jax.random.PRNGKey(2), **kwargs)
+    return _BB_CACHE[key]
+
+
+def _bb_eval(tw, k_eval=128, nseeds=8, T=32, B=4):
+    obs, emission, spec = _bb_setup(T, B)
+    run = jax.jit(jax.vmap(lambda k: twisted.twisted_smc(
+        obs, spec, emission, tw, num_particles=k_eval, key=k,
+        return_latents=False)["log_marginal_likelihood"]))
+    keys = jax.random.split(jax.random.PRNGKey(9), nseeds)
+    return np.asarray(run(keys))                      # [seeds, B]
+
+
+class TestMisspecifiedTwists:
+    """VERDICT r3 next #5: twisting a DEEP model whose optimal twist is
+    not log-quadratic (bouncing-ball: a renderer emission makes
+    p(y_{t:T-1} | x_t) a narrow non-quadratic well in position, and the
+    reflection map sign-flips velocity) - the regime the
+    misspecification knobs (fit_jitter / max_precision_ratio / keep)
+    exist for. Measured context (BENCH_NOTES round 4): at T=32 B=4, one
+    jittered ADP pass learned at K=2048 moves the K=128 evidence from
+    mean -17160 / sd 16358 (bootstrap collapse) to mean +306 / sd 24 -
+    while more iterations DEGRADE (the twisted run's own particles are
+    worse regression fodder than a tracking bootstrap's) and the
+    ranking vs bootstrap REVERSES at the learning K (see keep='best').
+    """
+
+    def test_jittered_one_pass_rescues_small_k_filter(self):
+        """Twist learned (fit_jitter, one pass at adequate K) must
+        massively improve the SMALL-K evidence estimate vs bootstrap:
+        higher mean (the estimator is unbiased in Z, so a higher mean =
+        less collapse) and an order-of-magnitude smaller seed spread."""
+        learned, _ = _bb_learned(num_particles=2048, num_iterations=1,
+                                 fit_jitter=3.0)
+        zero = twisted.QuadraticTwist.zeros(32, 4, dim=2)
+        z0 = _bb_eval(zero)
+        z1 = _bb_eval(learned)
+        assert z1.mean() > z0.mean() + 5000.0, (z0.mean(), z1.mean())
+        assert z1.std(0).mean() < 0.1 * z0.std(0).mean(), (
+            z0.std(0), z1.std(0))
+
+    def test_keep_best_scores_at_deploy_k(self):
+        """keep='best' with keep_num_particles scores candidates at the
+        DEPLOY particle count: at K=128 the learned twist beats the
+        zero-init bootstrap by thousands of nats on every row, so every
+        row must select candidate 1 (at the learning K=2048 the ranking
+        reverses - bootstrap tracks and outscores the misspecified
+        twist - which is exactly why the knob exists). Scores are
+        averaged over seeds: a collapsing bootstrap's single-seed score
+        is bimodal (~+1550 on the ~20% of seeds that track, ~-15k
+        otherwise, measured here), so one lucky seed can out-score the
+        reliable twist."""
+        learned, info = _bb_learned(num_particles=2048, num_iterations=1,
+                                    fit_jitter=3.0, keep="best",
+                                    keep_num_particles=128,
+                                    keep_num_seeds=6)
+        scores = np.asarray(info["scores"])
+        sel = np.asarray(info["selected"])
+        assert scores.shape == (2, 4) and sel.shape == (4,)
+        assert np.all(sel == np.argmax(scores, axis=0))
+        assert np.all(sel == 1), (scores, sel)
+        assert np.all(np.isfinite(np.asarray(learned.A)))
+        # The selected twist must match the keep='last' fit of the
+        # same learning run (same keys: keep only APPENDS scoring).
+        last, _ = _bb_learned(num_particles=2048, num_iterations=1,
+                              fit_jitter=3.0)
+        np.testing.assert_allclose(np.asarray(learned.A),
+                                   np.asarray(last.A), rtol=1e-6)
+
+    def test_max_precision_ratio_clamps_curvature(self):
+        """The cap must bind: no fitted A above kappa / scale^2 (row 0
+        against the initial scale, rows 1+ against the transition
+        scale), and the clamped twist must stay finite."""
+        T, B, kappa = 16, 2, 2.0
+        obs, emission, spec = _bb_setup(T, B)
+        learned, _ = _bb_learned(T, B, num_particles=256,
+                                 num_iterations=1, fit_jitter=3.0,
+                                 max_precision_ratio=kappa)
+        a = np.asarray(learned.A)
+        cap0 = kappa / np.square(np.asarray(spec.initial_scale))
+        cap = kappa / np.square(np.asarray(spec.transition_scale))
+        assert np.all(a[0] <= cap0 * (1 + 1e-6))
+        assert np.all(a[1:] <= cap * (1 + 1e-6))
+        assert np.all(np.isfinite(a))
+
+    def test_fit_jitter_keeps_lgssm_one_pass_exact(self):
+        """On exactly log-quadratic targets the regression is exact at
+        ANY design points, so fit_jitter must not break the one-pass
+        exactness property (same bar as the un-jittered test)."""
+        with jax.enable_x64(True):
+            observations, emission, spec = _lgssm_setup(T=8, B=2)
+            obs64 = jnp.asarray(observations, jnp.float64)
+            exact = twisted.exact_lgssm_twist(
+                obs64, 0.0, 1.0, A_TR, S_TR, C_EM, S_EM)
+            learned, _ = twisted.learn_twist(
+                obs64, spec, emission, num_particles=64,
+                key=jax.random.PRNGKey(2), num_iterations=1, ridge=0.0,
+                fit_jitter=1.5)
+            np.testing.assert_allclose(np.asarray(learned.A),
+                                       np.asarray(exact.A), atol=1e-7)
+            np.testing.assert_allclose(np.asarray(learned.b),
+                                       np.asarray(exact.b), atol=1e-7)
+
+    def test_unweighted_divergence_is_the_documented_failure(self):
+        """The knobs exist because the raw (unweighted, in-cloud,
+        small-K) fit diverges here: far-tail particles with targets
+        thousands of nats down dominate the L2 objective. Pin the
+        direction (jittered adequate-K fit far above the raw fit) so
+        the defaults stay protective."""
+        good, _ = _bb_learned(num_particles=2048, num_iterations=1,
+                              fit_jitter=3.0)
+        raw, _ = _bb_learned(num_particles=128, num_iterations=1,
+                             weighted=False)
+        zg = _bb_eval(good, nseeds=4)
+        zr = _bb_eval(raw, nseeds=4)
+        assert zg.mean() > zr.mean() + 1000.0, (zg.mean(), zr.mean())
