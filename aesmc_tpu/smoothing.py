@@ -314,8 +314,15 @@ def _rejection_backward_indices(key, prev_latent, prev_log_weight,
                           previous_observations=prev_obs_list)
         return state.log_prob(dist, children_flat)            # [B, C*N]
 
+    # method='sort' above ~2^16 query lanes: the default binary-search
+    # lowering ('scan': a log2(K)-step while_loop over [B, C*N] lanes)
+    # faulted the TPU device at C*N = 131,072 (K=65,536 PaRIS, crash
+    # reproduced 3x round 3-4); the co-sorting lowering runs the same
+    # shapes fine. Small widths keep the cheaper binary search.
+    ss_method = "sort" if c * n >= (1 << 16) else "scan"
     searchsorted_rows = jax.vmap(
-        lambda a, v: jnp.searchsorted(a, v, side="right"))
+        lambda a, v: jnp.searchsorted(a, v, side="right",
+                                      method=ss_method))
 
     if max_exact_lanes is None:
         # Auto: absorb up to 1/8 of the lanes (weight-degenerate

@@ -106,12 +106,15 @@ def run_ffbs(comps, observations, run_key, num_particles):
     logw = out["log_weights"]
     jax.block_until_ready(logw)
 
-    def call(k):
+    # latents/logw must be ARGUMENTS, not closure constants: closed-over
+    # device arrays are serialized into the remote-compile request,
+    # which the tunnel rejects with HTTP 413 at K=1M.
+    def call(k, lat, lw):
         return smoothing.backward_simulation(
-            latents, logw, transition, FFBS_M, k,
+            lat, lw, transition, FFBS_M, k,
             observations=observations)
 
-    dt, traj = _timed(jax.jit(call), run_key)
+    dt, traj = _timed(jax.jit(call), run_key, latents, logw)
     log(f"ffbs      K={num_particles:>9,} pairwise  "
         f"{dt / T * 1e3:9.2f} ms/obs (total {dt*1e3:8.1f} ms, "
         f"M={FFBS_M}, mean={float(jnp.mean(traj)):+.4f})")
