@@ -491,7 +491,15 @@ def _window_kernel_impl(num_values, emit_idx, kp_real, range_sum,
 
                     @pl.when(miss)
                     def _():
+                        # Align the DMA start DOWN to the 8-sublane f32
+                        # tile (every other DMA in this file starts at
+                        # a multiple of rc, which _padded_k makes a
+                        # multiple of 8; a 4-mod-8 start faulted the
+                        # TPU at the first hardware run). Coverage
+                        # still holds: cap is a multiple of 8 and
+                        # >= w_tile + 8, and the alignment loss is < 8.
                         nb = jnp.minimum(wstart, jnp.int32(rc - cap))
+                        nb = (nb // 8) * 8
                         base_ref[0, 0] = nb
                         copies = [pltpu.make_async_copy(
                             src.at[pl.ds(b * rc + nb, cap), :],
@@ -685,11 +693,12 @@ def _windowed_cap_rows(rc: int, chunks: int) -> int:
     ~4 chunks' worth of CDF rows (margin for weight skew - under
     uniform weights one chunk of positions spans ~rc/chunks rows, so
     the main path re-bases once every ~3 chunks), floored at 512 rows
-    (tiny DMAs are latency-bound), MERGE_ROWS-aligned, capped at the
-    whole row."""
+    (tiny DMAs are latency-bound), 8-sublane aligned (the re-base DMA
+    start is aligned DOWN to 8, costing < 8 rows of the window), capped
+    at the whole row (rc is a _padded_k multiple of 8)."""
     per_chunk = -(-rc // chunks)
-    cap = _round_up(max(512, 4 * per_chunk), MERGE_ROWS)
-    return min(cap, _round_up(rc, MERGE_ROWS))
+    cap = _round_up(max(512, 4 * per_chunk), max(MERGE_ROWS, 8))
+    return min(cap, rc)
 
 
 def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
@@ -857,10 +866,14 @@ def _window_call(cdf, values, kp, emit_idx, interpret, *, u=None,
         # oversubscribes VMEM, BENCH_NOTES round-3 v5-HBM sweep).
         # An int `hbm_windowed` overrides the cap (tests force tiny
         # windows to exercise re-basing at small K; probes sweep it).
+        # Caps are 8-sublane aligned and >= MERGE_ROWS + 8 so the
+        # aligned-down re-base (up to 7 rows early) still covers a
+        # whole window read.
         cap = (_windowed_cap_rows(rc, hbm_chunks)
                if hbm_windowed is True
-               else min(_round_up(int(hbm_windowed), MERGE_ROWS),
-                        _round_up(rc, MERGE_ROWS)))
+               else min(_round_up(max(int(hbm_windowed),
+                                      MERGE_ROWS + 8),
+                                  max(MERGE_ROWS, 8)), rc))
         scratch_shapes = ([pltpu.VMEM((cap, LANE), jnp.float32)] * n_c +
                           [pltpu.SemaphoreType.DMA((n_c,)),
                            pltpu.SMEM((1, 1), jnp.int32)])
