@@ -66,11 +66,15 @@ from .state import BatchShapeMode
 
 __all__ = [
     "QuadraticTwist",
+    "TabularTwist",
     "GaussianSSMSpec",
+    "DiscreteSSMSpec",
     "LogCorrectedDistribution",
     "make_twisted_components",
+    "make_discrete_twisted_components",
     "twisted_smc",
     "exact_lgssm_twist",
+    "exact_hmm_twist",
     "learn_twist",
 ]
 
@@ -100,6 +104,44 @@ class QuadraticTwist:
     @property
     def vector(self) -> bool:
         return jnp.asarray(self.A).ndim == 3
+
+
+@struct.dataclass
+class TabularTwist:
+    """Twist over a FINITE state space: ``log psi_t(x = d)`` as a table.
+
+    `logpsi` is `[T, batch, D]` (`batch` may be 1 and broadcasts). The
+    discrete analogue of `QuadraticTwist`: on a finite state space the
+    twisted kernels are exactly renormalized Categoricals and
+    ``psitilde_t(i) = sum_j P[i, j] psi_t(j)`` is an exact matrix
+    product - no integral approximation, no positivity constraint.
+    """
+
+    logpsi: Any
+
+    @classmethod
+    def zeros(cls, num_timesteps: int, batch_size: int, num_states: int,
+              dtype=jnp.float32):
+        return cls(logpsi=jnp.zeros(
+            (num_timesteps, batch_size, num_states), dtype))
+
+    @property
+    def num_states(self) -> int:
+        return jnp.asarray(self.logpsi).shape[-1]
+
+
+@struct.dataclass
+class DiscreteSSMSpec:
+    """Discrete-latent analogue of `GaussianSSMSpec` (HMM family).
+
+    `initial_logits` `[D]`, `transition_logits` `[D, D]` (rows
+    log-softmax-normalized internally); matches the contract of
+    `models.hmm.Initial`/`Transition` (models/hmm.py:41-76). The
+    emission is unrestricted, exactly as in the Gaussian case.
+    """
+
+    initial_logits: Any
+    transition_logits: Any
 
 
 @struct.dataclass
@@ -315,11 +357,95 @@ def make_twisted_components(spec: GaussianSSMSpec, emission,
     return initial_, transition_, emission_, proposal_
 
 
-def twisted_smc(observations, spec: GaussianSSMSpec, emission,
-                twist: QuadraticTwist, num_particles: int, key=None,
-                **infer_kwargs) -> dict:
+def make_discrete_twisted_components(spec: DiscreteSSMSpec, emission,
+                                     twist: TabularTwist, batch_size: int,
+                                     num_timesteps=None):
+    """Engine components for the psi-twisted DISCRETE model (HMM family).
+
+    Mirror of `make_twisted_components` on a finite state space: the
+    twisted transition is the exactly-renormalized Categorical with
+    logits ``logP[x_{t-1}] + log psi_t``, transition' == proposal'
+    cancel bit-exactly, and the emission carries
+    ``log g + log psitilde_{t+1} - log psi_t`` (plus ``log mu(psi_0)``
+    at t=0). `psitilde` is an exact log-matrix-vector product, so the
+    optimal twist (`exact_hmm_twist`) yields the zero-variance / exact
+    evidence property with NO model restrictions at all - the discrete
+    case is the one setting where twisted SMC is always exactly
+    realizable. int32 particles ride every engine path the HMM family
+    already exercises (fused gathers, stop-gradient sampling).
+    """
+    logpsi = jnp.asarray(twist.logpsi)
+    if logpsi.ndim != 3:
+        raise ValueError(
+            f"TabularTwist.logpsi must be [T, batch, D], got {logpsi.shape}")
+    if num_timesteps is not None and logpsi.shape[0] != num_timesteps:
+        raise ValueError(
+            f"twist covers {logpsi.shape[0]} steps but the observation "
+            f"sequence has {num_timesteps} - build the twist for this T "
+            "(exact_hmm_twist on the same observations)")
+    num_steps, _, num_states = logpsi.shape
+    logpsi = jnp.broadcast_to(logpsi, (num_steps, batch_size, num_states))
+    logP = jax.nn.log_softmax(jnp.asarray(spec.transition_logits,
+                                          logpsi.dtype), axis=-1)
+    logpi0 = jax.nn.log_softmax(jnp.asarray(spec.initial_logits,
+                                            logpsi.dtype))
+    if logP.shape != (num_states, num_states):
+        raise ValueError(
+            f"transition_logits {logP.shape} vs twist D={num_states}")
+
+    # psi_pad row T = log 1; psitilde_pad[t](i) = lse_j logP[i,j] +
+    # psi_pad[t, b, j]. The final row is forced to exactly 0 (rows of
+    # logP are normalized, so it is 0 up to fp rounding anyway).
+    psi_pad = jnp.concatenate([logpsi, jnp.zeros_like(logpsi[:1])], axis=0)
+    psitilde_pad = jax.nn.logsumexp(
+        logP[None, None] + psi_pad[:, :, None, :], axis=-1)
+    psitilde_pad = psitilde_pad.at[-1].set(0.0)
+    log_mu_psi0 = jax.nn.logsumexp(logpi0[None, :] + logpsi[0], axis=-1)
+
+    def _tindex(time):
+        return time if isinstance(time, int) else jnp.asarray(time)
+
+    def initial_():
+        return dists.Categorical(
+            logpi0[None, :] + logpsi[0],
+            batch_shape_mode=BatchShapeMode.BATCH_EXPANDED)
+
+    def transition_(previous_latents=None, time=None,
+                    previous_observations=None):
+        del previous_observations
+        t = _tindex(time)
+        prev = jnp.asarray(previous_latents[-1]).astype(jnp.int32)
+        logits = logP[prev] + psi_pad[t][:, None, :]          # [B, K, D]
+        return dists.Categorical(
+            logits, batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
+
+    def proposal_(previous_latents=None, time=None, observations=None):
+        del observations
+        if isinstance(time, int) and time == 0:
+            return initial_()
+        return transition_(previous_latents=previous_latents, time=time)
+
+    def emission_(latents=None, time=None, previous_observations=None):
+        base = emission(latents=latents, time=time,
+                        previous_observations=previous_observations)
+        t = _tindex(time)
+        x = jnp.asarray(latents[-1]).astype(jnp.int32)        # [B, K]
+        corr = (jnp.take_along_axis(psitilde_pad[t + 1], x, axis=1)
+                - jnp.take_along_axis(psi_pad[t], x, axis=1))
+        if isinstance(time, int) and time == 0:
+            corr = corr + log_mu_psi0[:, None]
+        return LogCorrectedDistribution(
+            base, corr, batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
+
+    return initial_, transition_, emission_, proposal_
+
+
+def twisted_smc(observations, spec, emission, twist, num_particles: int,
+                key=None, **infer_kwargs) -> dict:
     """SMC on the psi-twisted model; same return vocabulary as `infer`.
 
+    `spec` selects the family: `GaussianSSMSpec` + `QuadraticTwist`
+    (continuous latents) or `DiscreteSSMSpec` + `TabularTwist` (HMM).
     The log-marginal-likelihood estimator is unbiased for the *original*
     model's evidence for any twist, and exact (zero variance) at the
     optimal twist.
@@ -327,7 +453,10 @@ def twisted_smc(observations, spec: GaussianSSMSpec, emission,
     stacked = ainference.stack_observations(observations)
     lead = jax.tree_util.tree_leaves(stacked)[0]
     batch_size = lead.shape[1]
-    initial_, transition_, emission_, proposal_ = make_twisted_components(
+    maker = (make_discrete_twisted_components
+             if isinstance(spec, DiscreteSSMSpec)
+             else make_twisted_components)
+    initial_, transition_, emission_, proposal_ = maker(
         spec, emission, twist, batch_size, num_timesteps=lead.shape[0])
     infer_kwargs.setdefault("return_log_marginal_likelihood", True)
     return ainference.infer(
@@ -376,6 +505,46 @@ def exact_lgssm_twist(observations, initial_mean, initial_scale,
     if vector:
         c = jnp.sum(c, axis=-1)
     return QuadraticTwist(A=A, b=b, c=c)
+
+
+def exact_hmm_twist(observations, initial_logits, transition_logits,
+                    locs=None, scale=None, *, emission_logliks=None
+                    ) -> TabularTwist:
+    """Optimal twist ``psi_t(x) = p(y_{t:T-1} | x_t = x)`` for a discrete
+    HMM: the exact backward (beta) recursion
+    ``psi_{T-1} = g_{T-1}``, ``psi_t = g_t * (P @ psi_{t+1})``.
+
+    Pass Gaussian-emission params (`locs` `[D]`, `scale`) to match
+    `models.hmm` (and the `hmm_forward` oracle signature,
+    models/hmm.py:202), or `emission_logliks` `[T, B, D]` (per-state
+    log g_t(y_t | d)) for ANY evaluable emission - the finite state
+    space makes the optimal twist exactly computable regardless of the
+    emission family. `initial_logits` is unused (the t=0 twist acts
+    through the twisted initial) but kept for signature symmetry.
+    """
+    del initial_logits
+    logP = jax.nn.log_softmax(
+        jnp.asarray(transition_logits, jnp.result_type(float)), axis=-1)
+    if emission_logliks is None:
+        if locs is None or scale is None:
+            raise ValueError("pass (locs, scale) or emission_logliks=")
+        y = jnp.asarray(ainference.stack_observations(observations),
+                        logP.dtype)
+        locs = jnp.asarray(locs, logP.dtype)
+        emission_logliks = dists.Normal(
+            locs[None, None, :], jnp.asarray(scale, logP.dtype)).log_prob(
+                y[:, :, None])                                 # [T, B, D]
+    ll = jnp.asarray(emission_logliks, logP.dtype)
+
+    def step(psi_next, ll_t):
+        # psitilde_{t+1}(i) = lse_j logP[i, j] + psi_{t+1}(j); the zero
+        # init makes the final step psi_{T-1} = g_{T-1} exactly.
+        psi = ll_t + jax.nn.logsumexp(
+            logP[None] + psi_next[:, None, :], axis=-1)
+        return psi, psi
+
+    _, psis = jax.lax.scan(step, jnp.zeros_like(ll[0]), ll[::-1])
+    return TabularTwist(logpsi=psis[::-1])
 
 
 def _fit_quadratic(x, target, ridge, weights=None):
