@@ -156,12 +156,22 @@ class GaussianSSMSpec:
 
     `mean_fn(previous_latent, time)` receives `[batch, K(, D)]` latents
     and the (possibly traced) index of the state being generated.
+
+    `scale_fn(previous_latent, time)` (optional) makes the diagonal
+    transition scale STATE-DEPENDENT - e.g. a neural-net variance head
+    as in the VRNN (models/vrnn.py:130-150). The log-quadratic twist
+    algebra is elementwise in the per-dim variance, so the twisted
+    kernels stay closed-form Gaussians with per-particle moments (still
+    pure VPU math, no solves). When given, `transition_scale` is only
+    used as the REPRESENTATIVE scale for `learn_twist`'s `fit_jitter`
+    design-point noise - pass a typical value (e.g. 1.0).
     """
 
     initial_loc: Any
     initial_scale: Any
     transition_scale: Any
     mean_fn: Any = struct.field(pytree_node=False)
+    scale_fn: Any = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass
@@ -286,9 +296,15 @@ def make_twisted_components(spec: GaussianSSMSpec, emission,
     def _tindex(time):
         return time if isinstance(time, int) else jnp.asarray(time)
 
-    def _twisted_gaussian(m, a, b):
-        p = 1.0 / s2 + a
-        loc = (m / s2 + b) / p
+    def _s2_of(prev, time):
+        """Per-particle transition variance: constant, or scale_fn^2."""
+        if spec.scale_fn is None:
+            return s2
+        return jnp.square(spec.scale_fn(prev, time))
+
+    def _twisted_gaussian(m, a, b, s2t):
+        p = 1.0 / s2t + a
+        loc = (m / s2t + b) / p
         scale = jax.lax.rsqrt(p)
         if vector:
             return dists.MultivariateNormalDiag(
@@ -313,7 +329,8 @@ def make_twisted_components(spec: GaussianSSMSpec, emission,
         del previous_observations
         t = _tindex(time)
         m = spec.mean_fn(previous_latents[-1], time)
-        return _twisted_gaussian(m, _pexpand(a_pad[t]), _pexpand(b_pad[t]))
+        return _twisted_gaussian(m, _pexpand(a_pad[t]), _pexpand(b_pad[t]),
+                                 _s2_of(previous_latents[-1], time))
 
     def proposal_(previous_latents=None, time=None, observations=None):
         del observations
@@ -340,7 +357,7 @@ def make_twisted_components(spec: GaussianSSMSpec, emission,
             t_next = (time + 1 if isinstance(time, int) else
                       jnp.minimum(jnp.asarray(time) + 1, num_steps - 1))
             m_next = spec.mean_fn(x, t_next)
-            lp_tilde = (_reduce(_quad_terms(m_next, s2,
+            lp_tilde = (_reduce(_quad_terms(m_next, _s2_of(x, t_next),
                                             _pexpand(a_pad[t + 1]),
                                             _pexpand(b_pad[t + 1])),
                                 vector)
@@ -659,7 +676,9 @@ def _adp_refit(observations, spec: GaussianSSMSpec, emission, xs,
             emission(latents=[x_t], time=time),
             astate.expand_observation(y_t, num_particles))
         m_next = spec.mean_fn(x_t, time + 1)
-        lp_tilde = (_reduce(_quad_terms(m_next, s2, _pexpand(a_n),
+        s2_next = (s2 if spec.scale_fn is None
+                   else jnp.square(spec.scale_fn(x_t, time + 1)))
+        lp_tilde = (_reduce(_quad_terms(m_next, s2_next, _pexpand(a_n),
                                         _pexpand(b_n)), vector)
                     + _pexpand(c_n))
         return fit(x_t, g + lp_tilde, ridge, w_t)

@@ -350,6 +350,21 @@ def main():
     bench_infer(f"HMM D=8 T={T} B={B} K={K} bootstrap",
                 hm_boot, obs, K, T, B)
 
+    # Twisted discrete SMC (round-4): the exact tabular twist rides the
+    # engine as renormalized-Categorical components; this times the
+    # twist's throughput overhead vs the untwisted rows above (the
+    # evidence itself is exact/zero-variance by construction).
+    from aesmc_tpu import twisted as _twisted
+    tw = _twisted.exact_hmm_twist(obs, hm[0].logits, hm[1].logits,
+                                  hm[2].locs, hm[2].scale)
+    tspec = _twisted.DiscreteSSMSpec(initial_logits=hm[0].logits,
+                                     transition_logits=hm[1].logits)
+    t_init, t_trans, t_emis, t_prop = \
+        _twisted.make_discrete_twisted_components(tspec, hm[2], tw, B,
+                                                  num_timesteps=T)
+    bench_infer(f"HMM D=8 T={T} B={B} K={K} twisted (exact tabular)",
+                (t_init, t_trans, t_emis, t_prop), obs, K, T, B)
+
     # Particle Gibbs (PGAS) sweep rate - the posterior-sampling module.
     from aesmc_tpu import csmc, statistics as astats
     from aesmc_tpu.models import lgssm as _lgssm
