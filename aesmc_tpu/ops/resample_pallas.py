@@ -662,13 +662,15 @@ def v5_fits(kc: int, kp: int, num_values: int, *,
     return 2 * 4 * LANE * (rc * n_c + rp * n_p) <= V5_VMEM_BUDGET
 
 
-# v5-HBM single-buffered CDF-side scratch budget. Measured cliff on
-# v5e (round-3 sweep, benchmarks/v5_hbm_sweep.py): 72 MB scratch (6M
-# particles, 1 value column) runs at 1.76x the v1 HBM merge, but 96 MB
-# (8M) collapses to 0.30x - the compare planes/pipeline blocks start
-# spilling once scratch crowds the 128 MB VMEM. Cap at 76 MB: 2.5M-6M
-# (and the 2-array range-sum backward to 8M) route here; beyond, the
-# v1 merge remains the fastest known layout.
+# v5-HBM single-buffered CDF-side scratch budget for the WHOLE-ROW
+# layout. Round-3 attributed the 8M collapse (0.30x v1) to 96 MB
+# scratch oversubscribing VMEM; the round-4 sweep DISPROVED that - the
+# collapse is the 512-row position-chunk alignment rule (see
+# WINDOWED_CHUNK above; whole-row 8M happened to land on rpc=1016).
+# The windowed layout with 64Ki-position chunks supersedes this mode
+# in the router (faster at every measured K, no scratch cap); the
+# whole-row mode and this budget are kept for probes/A-B comparison
+# and the range-sum backward gating.
 V5_HBM_VMEM_BUDGET = 76 * 1024 * 1024
 
 
@@ -686,6 +688,22 @@ def _hbm_chunk_count(kp: int) -> int:
     """(B, chunks) grid sizing for the v5-HBM layout: ~LARGE_K_CHUNK
     positions per chunk."""
     return max(1, -(-kp // LARGE_K_CHUNK))
+
+
+# Measured rule (round-4 64k-chunk sweep, BENCH_NOTES "the 512-row
+# chunk-alignment cliff"): the v5-HBM pipeline runs at full speed ONLY
+# when the position-side chunk height is a multiple of 512 rows
+# (65,536 positions). rpc = 512/1024 rows: 1.5-1.9x v1 across 2.5M-12M;
+# rpc = 504/680/1000/1016/2024: 3-6x COLLAPSE (the round-3 "8M VMEM
+# oversubscription" attribution was wrong - whole-row 8M hit rpc=1016).
+# 64Ki-position chunks make rpc exactly 512 at any K (pad <= 0.8%).
+WINDOWED_CHUNK = 64 * 1024
+
+
+def _hbm_windowed_chunk_count(kp: int) -> int:
+    """Chunk count for the windowed v5-HBM layout: exactly 512-row
+    (64Ki-position) chunks - see the alignment rule above."""
+    return max(1, -(-kp // WINDOWED_CHUNK))
 
 
 def _windowed_cap_rows(rc: int, chunks: int) -> int:
@@ -1375,11 +1393,17 @@ def _rgs_run(emit_idx, log_weight, u, columns):
 
     k = log_weight.shape[1]
     cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
-    hbm_chunks = (None if v5_fits(k, k, len(columns), systematic=True,
-                                  emit_idx=emit_idx)
-                  else _hbm_chunk_count(k))
+    if v5_fits(k, k, len(columns), systematic=True, emit_idx=emit_idx):
+        hbm_chunks, windowed = None, False
+    else:
+        # Windowed v5-HBM with 512-row chunks: 1.5-1.9x the v1 merge
+        # across the whole 2.5M-12M+ regime with a few MB of scratch
+        # (round-4 sweep) - replaces both the whole-row v5-HBM mode
+        # (76 MB cap, collapsed at 8M) and the v1 fallback above 6M.
+        hbm_chunks, windowed = _hbm_windowed_chunk_count(k), True
     idx, gathered = systematic_search_gather_pallas(
-        cdf, u, k, columns, emit_idx=emit_idx, hbm_chunks=hbm_chunks)
+        cdf, u, k, columns, emit_idx=emit_idx, hbm_chunks=hbm_chunks,
+        hbm_windowed=windowed)
     return cdf, idx, gathered
 
 
@@ -1393,9 +1417,10 @@ def resample_and_gather_systematic(emit_idx, log_weight, u, columns):
     runs the relayout-free flipped merge. `emit_idx=False` skips the
     ancestor-index computation entirely (inference without lineage).
     Above the v5 VMEM cap (~2M particles) the same call routes to the
-    v5-HBM chunked layout (to ~8M at one value column). Gradients flow
-    through the gathered values only (reference stop-gradient
-    semantics, /root/reference/aesmc/inference.py:254).
+    WINDOWED v5-HBM layout (512-row chunks, a few MB of scratch at any
+    K - measured 1.5-1.9x the v1 merge across 2.5M-12M, round 4).
+    Gradients flow through the gathered values only (reference
+    stop-gradient semantics, /root/reference/aesmc/inference.py:254).
     """
     _, idx, gathered = _rgs_run(emit_idx, log_weight, u, columns)
     return idx, tuple(gathered)

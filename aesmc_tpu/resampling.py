@@ -462,16 +462,13 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
         if columns is not None and len(columns) <= MAX_FUSED_COLUMNS:
             from .ops import resample_pallas
             k = log_weight.shape[1]
-            if (method == "systematic"
-                    and (resample_pallas.v5_fits(
-                            k, k, len(columns), systematic=True,
-                            emit_idx=need_indices)
-                         or resample_pallas.v5_hbm_fits(
-                            k, len(columns)))):
+            if method == "systematic":
                 # v5 fast path: same PRNG stream (one uniform per row),
                 # positions rebuilt inside the kernel. Whole-row VMEM
-                # blocks to ~2M particles; the v5-HBM chunked layout
-                # (routed inside resample_and_gather_systematic) to ~8M.
+                # blocks to ~2M particles; beyond, the windowed v5-HBM
+                # layout (512-row chunks, routed inside
+                # resample_and_gather_systematic) covers ANY K at
+                # 1.5-1.9x the v1 merge (measured to 12M, round 4).
                 batch_size = log_weight.shape[0]
                 u = jax.random.uniform(key, (batch_size, 1),
                                        dtype=jnp.result_type(float))
