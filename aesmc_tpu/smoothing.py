@@ -34,23 +34,28 @@ computes filtering expectations):
    statistics - nothing is stored per timestep, so T is unbounded.
 
 Backward-draw modes, measured on v5e (BENCH_NOTES "pairwise vs
-rejection PaRIS on TPU"): `backward='pairwise'` (the [B, K, K] tile)
-rides the MXU and is 8-18x FASTER than `backward='rejection'` on TPU
-wherever the tile fits in HBM (K <= ~16k at B=2 f32) - rejection's
-`lax.while_loop` rounds serialize on device. Above that wall the
-pairwise mode now STREAMS the exact categorical over parent chunks
-(Gumbel-max running argmax, `_chunked_pairwise_backward_indices`):
-O(K * chunk) live memory, still O(K^2) compute - so pairwise covers
-mid-large K and rejection's O(K) wins only when compute, not memory,
-binds. The CPU picture is the opposite (rejection 6.4x faster at
-K=2048).
+rejection PaRIS on TPU" + round-4 "large-K smoothing measured"):
+`backward='pairwise'` (the [B, K, K] tile) rides the MXU and is 8-18x
+FASTER than `backward='rejection'` on TPU wherever the tile fits in
+HBM (K <= ~16k at B=2 f32) - rejection's `lax.while_loop` rounds
+serialize on device. Above that wall the pairwise mode STREAMS the
+exact categorical over parent chunks (Gumbel-max running argmax,
+`_chunked_pairwise_backward_indices`): O(K * chunk) live memory,
+still O(K^2) compute - measured 109/441/1753 ms/obs at K=32k/65k/131k
+(the dense tile's O(K^2) rate, wall removed). Rejection's O(K) takes
+over above K ~ 100k: 578 ms/obs at 65k (pairwise 441) but 1212 at
+131k (pairwise 1753). So on TPU: pairwise through ~65k, rejection
+beyond. The CPU picture is the opposite at every K measured
+(rejection 6.4x faster already at K=2048).
 
-WARNING (open TPU bug, round 3-4): `backward='rejection'` at
-K = 65,536 (T=25 B=2 N=2 LGSSM) crashed the TPU worker through the
-tunnel, reproduced twice - suspected XLA TPU lowering of the
-while_loop + searchsorted at [B, 131072] lanes. K <= 16,384 is
-measured healthy; see BENCH_NOTES "rejection K=65,536 crash" for the
-bracketing status before relying on rejection above 16k on TPU.
+FIXED TPU fault (round 3, fixed round 4): `backward='rejection'` at
+K = 65,536 (T=25 B=2 N=2 LGSSM) crashed the TPU worker, reproduced
+3x - the default binary-search `searchsorted` lowering (a log2(K)-step
+while_loop) faults the device at >= 2^16 query lanes. The residual
+exact-fallback draw now routes to the co-sorting `method='sort'`
+lowering at >= 2^16 query lanes; K=65,536 and
+131,072 measured healthy post-fix (BENCH_NOTES round-4 "large-K
+smoothing measured").
 """
 
 from __future__ import annotations

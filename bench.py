@@ -109,7 +109,7 @@ def verify_kernels_on_hardware():
     # weights, exercising the v5 window-extension while loop.
     for k, scale in ((10_000, 3.0), (10_000, 30.0), (131_072, 3.0),
                      (524_288, 3.0), (1_000_000, 3.0),
-                     (4_194_304, 3.0)):
+                     (4_194_304, 3.0), (8_388_608, 3.0)):
         b = 4 if k <= 131_072 else (2 if k <= 1_000_000 else 1)
         logw = jax.random.normal(key, (b, k)) * scale
         value = jax.random.normal(jax.random.PRNGKey(1), (b, k))
@@ -143,46 +143,46 @@ def verify_kernels_on_hardware():
 
         # v5 systematic kernel (in-kernel positions): must reproduce the
         # XLA grid bit-exactly, including the f32 division. Above the
-        # VMEM cap, resample_and_gather_systematic routes to the v5-HBM
-        # chunked layout (round 3) - verified by the same block.
-        if rp.v5_fits(k, k, 1, systematic=True) or rp.v5_hbm_fits(k, 1):
-            u = jax.random.uniform(jax.random.PRNGKey(2), (b, 1),
-                                   dtype=jnp.result_type(float))
-            pos5 = jnp.minimum(
-                (u + jnp.arange(k, dtype=jnp.float32)) / k,
-                jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
-            idx5_ref = np.asarray(jnp.clip(jax.jit(jax.vmap(
-                functools_searchsorted))(cdf, pos5), 0, k - 1))
-            g5_ref = np.asarray(jnp.take_along_axis(
-                value, jnp.asarray(idx5_ref), axis=1))
-            idx5, (g5,) = rp.resample_and_gather_systematic(
-                True, logw, u, (value,))
-            m5 = int((np.asarray(idx5) != idx5_ref).sum())
-            gd5 = float(np.abs(np.asarray(g5) - g5_ref).max())
-            results[rkey]["v5_idx_mismatches"] = m5
-            results[rkey]["v5_gather_max_abs_dev"] = gd5
-            log(f"verify K={k} (v5 systematic): idx mismatches "
-                f"{m5}/{b*k}, gather dev {gd5}")
+        # VMEM cap, resample_and_gather_systematic routes to the
+        # WINDOWED v5-HBM layout (64Ki chunks, round 4 - covers ANY K),
+        # so this section now runs at every size in the sweep.
+        u = jax.random.uniform(jax.random.PRNGKey(2), (b, 1),
+                               dtype=jnp.result_type(float))
+        pos5 = jnp.minimum(
+            (u + jnp.arange(k, dtype=jnp.float32)) / k,
+            jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+        idx5_ref = np.asarray(jnp.clip(jax.jit(jax.vmap(
+            functools_searchsorted))(cdf, pos5), 0, k - 1))
+        g5_ref = np.asarray(jnp.take_along_axis(
+            value, jnp.asarray(idx5_ref), axis=1))
+        idx5, (g5,) = rp.resample_and_gather_systematic(
+            True, logw, u, (value,))
+        m5 = int((np.asarray(idx5) != idx5_ref).sum())
+        gd5 = float(np.abs(np.asarray(g5) - g5_ref).max())
+        results[rkey]["v5_idx_mismatches"] = m5
+        results[rkey]["v5_gather_max_abs_dev"] = gd5
+        log(f"verify K={k} (v5 systematic): idx mismatches "
+            f"{m5}/{b*k}, gather dev {gd5}")
 
-            # Transposed-merge backward: exact segment assignment
-            # (integer cotangents make the sums exact in f32).
-            gint = jnp.round(jax.random.normal(
-                jax.random.PRNGKey(3), (b, k)) * 3.0)
-            bwd_ref = np.asarray(jax.vmap(
-                lambda gr, ir: jax.ops.segment_sum(gr, ir,
-                                                   num_segments=k)
-            )(gint, jnp.asarray(idx5_ref)))
-            if rp.v5_fits(k, k, 1, systematic=True):
-                (bwd_p,) = rp.gather_backward_pallas(cdf, pos5, [gint])
-            else:
-                # v5-HBM regime: the matching chunked/HBM backward.
-                (bwd_p,) = rp.gather_backward_pallas(
-                    cdf, pos5, [gint], chunks=rp._hbm_chunk_count(k),
-                    hbm_resident=True)
-            mb = int((np.asarray(bwd_p) != bwd_ref).sum())
-            results[rkey]["bwd_mismatches"] = mb
-            log(f"verify K={k} (rangesum backward): mismatched sources "
-                f"{mb}/{b*k}")
+        # Transposed-merge backward: exact segment assignment
+        # (integer cotangents make the sums exact in f32).
+        gint = jnp.round(jax.random.normal(
+            jax.random.PRNGKey(3), (b, k)) * 3.0)
+        bwd_ref = np.asarray(jax.vmap(
+            lambda gr, ir: jax.ops.segment_sum(gr, ir,
+                                               num_segments=k)
+        )(gint, jnp.asarray(idx5_ref)))
+        if rp.v5_fits(k, k, 1, systematic=True):
+            (bwd_p,) = rp.gather_backward_pallas(cdf, pos5, [gint])
+        else:
+            # v5-HBM regime: the matching chunked/HBM backward.
+            (bwd_p,) = rp.gather_backward_pallas(
+                cdf, pos5, [gint], chunks=rp._hbm_chunk_count(k),
+                hbm_resident=True)
+        mb = int((np.asarray(bwd_p) != bwd_ref).sum())
+        results[rkey]["bwd_mismatches"] = mb
+        log(f"verify K={k} (rangesum backward): mismatched sources "
+            f"{mb}/{b*k}")
     ok = all(r["idx_mismatches"] == 0 and r["gather_max_abs_dev"] == 0.0
              and r.get("v5_idx_mismatches", 0) == 0
              and r.get("v5_gather_max_abs_dev", 0.0) == 0.0
