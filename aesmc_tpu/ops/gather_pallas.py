@@ -147,6 +147,20 @@ def gather_sorted_pallas(value, index, *, interpret: bool = False):
             (batch_size, k) + trailing)
         return out.astype(value.dtype)
 
+    if d > 12:
+        # WIDE states (e.g. VRNN latents, D=64): one XLA take_along
+        # row-gather (the feature dim rides the lanes, so whole [D]
+        # rows move per index) beats the per-(b, d)-row merge grid
+        # below 12-33x on v5e (round-4 wide-gather probe: 138/356/3650
+        # us vs 3826/11711/43451 at [16, {1k,4k,16k}, 64]) - the
+        # per-column kernel launch overhead dominates once D exceeds
+        # the fused-column budget. This was a measured 8x cliff on the
+        # wide-VRNN AESMC loss at K=1024 (BENCH_NOTES round-4 MFU).
+        idx = jnp.minimum(index, k - 1)
+        return jnp.take_along_axis(
+            value.reshape(batch_size, k, d),
+            idx[:, :, None], axis=1).reshape((batch_size, k) + trailing)
+
     k_pad = _round_up(k, MERGE_ROWS * LANE)
     r = k_pad // LANE
 

@@ -91,15 +91,22 @@ def main():
             return inference.infer(
                 "smc", obs, *bb, num_particles=K, key=k,
                 return_latents=False, return_log_weight=False,
+                return_log_marginal_likelihood=True,
             )["log_marginal_likelihood"]
 
         measure(f"bouncing-ball T={T} B={B} K={K} "
                 f"dtype={dtype or 'f32'}", bb_fn, key, T, B, K)
 
-    # VRNN at the bench dims, then MXU-friendly wide dims.
+    # VRNN at the bench dims, then MXU-friendly wide dims, then wide at
+    # growing K (the MFU lever: particle count IS the matmul batch -
+    # if the small-K rows are overhead-floor-bound, TFLOP/s should rise
+    # near-linearly in K until the MXU or HBM starts to bind).
     for (ld, hd, od, mlp, k_p, tag) in (
             (8, 32, 16, 32, 256, "bench"),
-            (64, 256, 64, 256, 256, "wide"),):
+            (64, 256, 64, 256, 256, "wide"),
+            (64, 256, 64, 256, 1024, "wide"),
+            (64, 256, 64, 256, 4096, "wide"),
+            (64, 256, 64, 256, 16384, "wide"),):
         T, B = 64, 16
         comps = vrnn.make_model(latent_dim=ld, hidden_dim=hd,
                                 obs_dim=od, key=key, mlp_hidden=mlp)
@@ -125,6 +132,7 @@ def main():
         return inference.infer(
             "smc", obs, *lz, num_particles=K, key=k,
             return_latents=False, return_log_weight=False,
+                return_log_marginal_likelihood=True,
         )["log_marginal_likelihood"]
 
     measure(f"Lorenz-96 D=8 T={T} B={B} K={K} bootstrap",

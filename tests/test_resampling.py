@@ -457,3 +457,58 @@ class TestResidual:
             exact = kalman.kalman_filter(
                 np.asarray(obs[:, b], np.float64), params)[-1]
             assert abs(lz[b] - exact) < 0.1, (b, lz[b], exact)
+
+
+class TestWideStatePallasRoute:
+    """WIDE states (> MAX_FUSED_COLUMNS feature columns, e.g. VRNN
+    latents [B, K, 64]) on the pallas implementation: round-4 fix for a
+    measured 8x cliff (BENCH_NOTES round-4 MFU) - the gather routes to
+    one XLA take_along row-gather instead of per-column merge kernels.
+    Must match the xla implementation exactly and stay differentiable
+    in the gathered values (the per-column kernel had no VJP)."""
+
+    def setup_method(self):
+        resample_pallas.FORCE_INTERPRET = True
+
+    def teardown_method(self):
+        resample_pallas.FORCE_INTERPRET = False
+
+    def test_matches_xla_and_differentiable(self):
+        key = jax.random.PRNGKey(0)
+        logw = jax.random.normal(key, (2, 512)) * 2.0
+        value = {"z": jax.random.normal(jax.random.PRNGKey(1),
+                                        (2, 512, 64)),
+                 "s": jax.random.normal(jax.random.PRNGKey(2),
+                                        (2, 512))}
+        kk = jax.random.PRNGKey(3)
+        idx_p, val_p = resampling.sample_ancestral_index_and_resample(
+            logw, kk, value, method="systematic",
+            implementation="pallas")
+        idx_x = resampling.sample_ancestral_index(
+            logw, kk, method="systematic", implementation="xla")
+        np.testing.assert_array_equal(np.asarray(idx_p),
+                                      np.asarray(idx_x))
+        np.testing.assert_array_equal(
+            np.asarray(val_p["z"]),
+            np.asarray(jnp.take_along_axis(value["z"],
+                                           idx_x[:, :, None], axis=1)))
+        np.testing.assert_array_equal(
+            np.asarray(val_p["s"]),
+            np.asarray(jnp.take_along_axis(value["s"], idx_x, axis=1)))
+
+        cot = jax.random.normal(jax.random.PRNGKey(4), (2, 512, 64))
+
+        def through_engine(v):
+            _, out = resampling.sample_ancestral_index_and_resample(
+                logw, kk, {"z": v}, method="systematic",
+                implementation="pallas")
+            return jnp.sum(out["z"] * cot)
+
+        def reference(v):
+            return jnp.sum(
+                jnp.take_along_axis(v, idx_x[:, :, None], axis=1) * cot)
+
+        g_eng = jax.grad(through_engine)(value["z"])
+        g_ref = jax.grad(reference)(value["z"])
+        np.testing.assert_allclose(np.asarray(g_eng), np.asarray(g_ref),
+                                   atol=1e-6, rtol=1e-6)
