@@ -1196,17 +1196,21 @@ def sample_ancestral_index_pallas(log_weight, key, method: str = "systematic",
     # f32 summation association shifted ~1e-4 of bin edges vs XLA,
     # caught by bench.py's on-hardware verification.)
     cdf = _r._normalized_cumsum(jax.lax.stop_gradient(log_weight))
-    if method == "systematic" and (v5_fits(k, k, 0, systematic=True)
-                                   or v5_hbm_fits(k, 0)):
-        # v5 window kernel (no serial merge cursors); 2M-8M runs the
-        # v5-HBM chunked layout.
+    if method == "systematic":
+        # v5 window kernel (no serial merge cursors); above the VMEM
+        # cap the windowed v5-HBM layout (64Ki chunks) covers ANY K -
+        # 6.8x over the old whole-row route at alignment-unlucky sizes
+        # (K=8,000,000: 151.5 -> 22.4 ms, BENCH_NOTES round-4b).
         batch_size = log_weight.shape[0]
         u = jax.random.uniform(key, (batch_size, 1),
                                dtype=jnp.result_type(float))
-        hbm_chunks = (None if v5_fits(k, k, 0, systematic=True)
-                      else _hbm_chunk_count(k))
+        if v5_fits(k, k, 0, systematic=True):
+            hbm_chunks, windowed = None, False
+        else:
+            hbm_chunks, windowed = _hbm_windowed_chunk_count(k), True
         idx, _ = systematic_search_gather_pallas(
-            cdf, u, k, (), interpret=interpret, hbm_chunks=hbm_chunks)
+            cdf, u, k, (), interpret=interpret, hbm_chunks=hbm_chunks,
+            hbm_windowed=windowed)
         return idx
     if v5_fits(k, k, 0):
         pos = _r.resampling_positions(log_weight, key, method)
@@ -1264,13 +1268,18 @@ def gather_backward_pallas(cdf, pos, g_cols, *, chunks: int = 1,
     if chunks == 1 and not hbm_resident:
         _, grads = range_sum_pallas(pos, lower, upper, g_cols,
                                     interpret=interpret)
-    elif hbm_resident and v5_hbm_fits(pos.shape[1], len(g_cols),
-                                      range_sum=True):
-        # v5-HBM range-sum: slots + cotangents DMA'd once per row,
-        # source-edge chunks pipelined (the 2M-8M backward).
-        _, grads = range_sum_pallas(pos, lower, upper, g_cols,
-                                    interpret=interpret,
-                                    hbm_chunks=chunks)
+    elif hbm_resident:
+        # Windowed v5-HBM range-sum (round 4): slots + cotangents in
+        # HBM with a sliding scratch window, source-edge side chunked
+        # at 64Ki (rpc=512 - the chunk-alignment rule). Covers ANY K;
+        # at the misaligned sizes the old whole-row route collapsed on
+        # (e.g. K=8,000,000 -> rpc=1016) this is 5.9x faster, at
+        # aligned sizes it matches (BENCH_NOTES round-4b windowed
+        # paths probe).
+        _, grads = range_sum_pallas(
+            pos, lower, upper, g_cols, interpret=interpret,
+            hbm_chunks=_hbm_windowed_chunk_count(upper.shape[1]),
+            hbm_windowed=True)
     else:
         grads = searchsorted_sorted_cdf_pallas(
             pos, upper, g_cols, chunks=chunks,
@@ -1339,12 +1348,17 @@ def _rgc_run(chunks, hbm_resident, cdf, pos, columns):
         # v5 window kernel (no serial merge cursors) - also the
         # distributed resampler's per-shard global-CDF search.
         return sorted_search_gather_pallas(cdf, pos, columns)
-    if hbm_resident and v5_hbm_fits(cdf.shape[1], len(columns)):
-        # v5-HBM: CDF-side row DMA'd once into scratch, position/output
-        # chunks pipelined (replaces the v1 two-cursor HBM merge in the
-        # 2M-8M regime).
-        return sorted_search_gather_pallas(cdf, pos, columns,
-                                           hbm_chunks=chunks)
+    if hbm_resident:
+        # Windowed v5-HBM (round 4): CDF side in HBM with a sliding
+        # scratch window, positions/outputs in 64Ki chunks (rpc=512 -
+        # the chunk-alignment rule). Covers ANY K with a few MB of
+        # scratch: 1.26-1.31x the v1 merge at 8M sorted positions
+        # (BENCH_NOTES round-4b), superseding both the whole-row
+        # v5-HBM mode (76 MB cap) and the v1 HBM fallback here.
+        return sorted_search_gather_pallas(
+            cdf, pos, columns,
+            hbm_chunks=_hbm_windowed_chunk_count(pos.shape[1]),
+            hbm_windowed=True)
     return searchsorted_sorted_cdf_pallas(
         cdf, pos, columns, chunks=chunks, hbm_resident=hbm_resident)
 

@@ -479,16 +479,23 @@ def sample_ancestral_index_and_resample(log_weight, key, value,
             pos = resample_pallas.resampling_positions(
                 log_weight, key, method)
             if not resample_pallas.v5_fits(k, k, len(columns)):
-                # Large-K path: CDF in XLA, chunked-position kernel with
-                # the CDF + one value column VMEM-resident per call.
+                # Large-K path: CDF in XLA; HBM sizes route to the
+                # windowed v5-HBM layout inside resample_and_gather_cdf
+                # (round 4 - a few MB of scratch at any K, so ALL
+                # columns fuse into one call; the old whole-row scratch
+                # forced one value column per call).
                 cdf = _normalized_cumsum(log_weight)
                 chunks = max(1, -(-k // resample_pallas.LARGE_K_CHUNK))
                 hbm = k > resample_pallas.VMEM_RESIDENT_PARTICLES
+                if hbm:
+                    idx, gathered = resample_pallas.resample_and_gather_cdf(
+                        chunks, True, cdf, pos, tuple(columns))
+                    return idx, rebuild(list(gathered))
                 idx = None
                 gathered = []
                 for col in columns:
                     idx, g = resample_pallas.resample_and_gather_cdf(
-                        chunks, hbm, cdf, pos, (col,))
+                        chunks, False, cdf, pos, (col,))
                     gathered.append(g[0])
                 return idx, rebuild(gathered)
             idx, gathered = resample_pallas.resample_and_gather(
