@@ -1,12 +1,13 @@
 """Extended benchmarks: BASELINE.json configs 2-4 on the real TPU.
 
 Not run by the driver (bench.py is the one-line headline); run manually:
-    PYTHONPATH=.:/root/.axon_site python benchmarks/bench_extended.py [core|wave]
+    PYTHONPATH=.:/root/.axon_site python benchmarks/bench_extended.py [core|wave|hmm]
 
 'core' (default if no arg): configs 2-4 + model families + PGAS.
 'wave': the round-3 algorithm-module wave, TPU-measured (VERDICT r3
 missing #1): RBPF, SMC^2, SQMC, annealed + waste-free samplers,
 block PF, IF2, resample-move, twisted SMC.
+'hmm': the discrete-latent HMM rows alone (also part of 'core').
 """
 
 import pathlib
@@ -336,34 +337,7 @@ def main():
     bench_infer(f"Lorenz-96 D=8 T={T} B={B} K={K} assimilation (diag)",
                 lz_assim, obs, K, T, B)
 
-    # Discrete-latent HMM (round-3 model family): int32 particles, with
-    # the closed-form fully-adapted proposal vs bootstrap. Exercises the
-    # integer-column path through the fused resample+gather at the
-    # headline shape.
-    from aesmc_tpu.models import hmm
-    T, B, K = 200, 10, 10_000
-    hm = hmm.make_model(num_states=8, proposal="optimal")
-    _, obs = statistics.sample_from_prior(hm[0], hm[1], hm[2], T, B, key)
-    bench_infer(f"HMM D=8 T={T} B={B} K={K} fully-adapted",
-                hm, obs, K, T, B)
-    hm_boot = hmm.make_model(num_states=8, proposal="bootstrap")
-    bench_infer(f"HMM D=8 T={T} B={B} K={K} bootstrap",
-                hm_boot, obs, K, T, B)
-
-    # Twisted discrete SMC (round-4): the exact tabular twist rides the
-    # engine as renormalized-Categorical components; this times the
-    # twist's throughput overhead vs the untwisted rows above (the
-    # evidence itself is exact/zero-variance by construction).
-    from aesmc_tpu import twisted as _twisted
-    tw = _twisted.exact_hmm_twist(obs, hm[0].logits, hm[1].logits,
-                                  hm[2].locs, hm[2].scale)
-    tspec = _twisted.DiscreteSSMSpec(initial_logits=hm[0].logits,
-                                     transition_logits=hm[1].logits)
-    t_init, t_trans, t_emis, t_prop = \
-        _twisted.make_discrete_twisted_components(tspec, hm[2], tw, B,
-                                                  num_timesteps=T)
-    bench_infer(f"HMM D=8 T={T} B={B} K={K} twisted (exact tabular)",
-                (t_init, t_trans, t_emis, t_prop), obs, K, T, B)
+    hmm_rows()
 
     # Particle Gibbs (PGAS) sweep rate - the posterior-sampling module.
     from aesmc_tpu import csmc, statistics as astats
@@ -389,6 +363,41 @@ def main():
           f"sweep = {1/dt:.1f} sweeps/s", flush=True)
 
 
+def hmm_rows():
+    """Discrete-latent HMM rows (round-3 model family): int32 particles,
+    with the closed-form fully-adapted proposal vs bootstrap. Exercises
+    the integer-column path through the fused resample+gather at the
+    headline shape, plus the round-4 exact tabular twist overhead."""
+    from aesmc_tpu import statistics
+    from aesmc_tpu.models import hmm
+
+    key = jax.random.PRNGKey(0)
+    print(f"backend: {jax.default_backend()}", flush=True)
+    T, B, K = 200, 10, 10_000
+    hm = hmm.make_model(num_states=8, proposal="optimal")
+    _, obs = statistics.sample_from_prior(hm[0], hm[1], hm[2], T, B, key)
+    bench_infer(f"HMM D=8 T={T} B={B} K={K} fully-adapted",
+                hm, obs, K, T, B)
+    hm_boot = hmm.make_model(num_states=8, proposal="bootstrap")
+    bench_infer(f"HMM D=8 T={T} B={B} K={K} bootstrap",
+                hm_boot, obs, K, T, B)
+
+    # Twisted discrete SMC (round-4): the exact tabular twist rides the
+    # engine as renormalized-Categorical components; this times the
+    # twist's throughput overhead vs the untwisted rows above (the
+    # evidence itself is exact/zero-variance by construction).
+    from aesmc_tpu import twisted as _twisted
+    tw = _twisted.exact_hmm_twist(obs, hm[0].logits, hm[1].logits,
+                                  hm[2].locs, hm[2].scale)
+    tspec = _twisted.DiscreteSSMSpec(initial_logits=hm[0].logits,
+                                     transition_logits=hm[1].logits)
+    t_init, t_trans, t_emis, t_prop = \
+        _twisted.make_discrete_twisted_components(tspec, hm[2], tw, B,
+                                                  num_timesteps=T)
+    bench_infer(f"HMM D=8 T={T} B={B} K={K} twisted (exact tabular)",
+                (t_init, t_trans, t_emis, t_prop), obs, K, T, B)
+
+
 if __name__ == "__main__":
     sections = sys.argv[1:] or ["core"]
     for section in sections:
@@ -396,5 +405,7 @@ if __name__ == "__main__":
             main()
         elif section == "wave":
             wave()
+        elif section == "hmm":
+            hmm_rows()
         else:
             raise SystemExit(f"unknown section {section!r}")
