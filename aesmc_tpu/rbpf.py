@@ -36,6 +36,7 @@ enumeration over all 2^T regime paths.
 from __future__ import annotations
 
 import math as _stdmath
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -102,14 +103,44 @@ def _mm(a, b):
 def _psd_inverse_small(s):
     """(log_det [.., ], inverse [.., Do, Do]) of batched PSD matrices.
 
-    Closed-form (einsum/VPU-only) for Do <= 3: per-particle
-    `jnp.linalg.cholesky` on [B, K, Do, Do] stacks lowers to SERIALIZED
-    scalar code on TPU - the measured 218x "tiny-Cholesky TPU trap"
-    (BENCH_NOTES; same pathology VERDICT r3 flagged at rbpf.py:110).
-    Do >= 4 falls back to the Cholesky (still exact, just slow on TPU -
-    structure the emission as independent small blocks if it bites).
+    Closed-form (einsum/VPU-only) for Do <= 3; Do in [4, 8] recurses via
+    symmetric 2x2-block Schur complements (still einsum-only, exact):
+    per-particle `jnp.linalg.cholesky` on [B, K, Do, Do] stacks lowers
+    to SERIALIZED scalar code on TPU - the measured 218x "tiny-Cholesky
+    TPU trap" (BENCH_NOTES; same pathology VERDICT r3 flagged at
+    rbpf.py:110). Only Do > 8 falls back to the Cholesky (still exact,
+    just slow on TPU) and emits a UserWarning at trace time - structure
+    the emission as independent small blocks if it bites.
     """
     do = s.shape[-1]
+    if 4 <= do <= 8:
+        # Schur-complement recursion: S = [[A, B], [B^T, D]] with A the
+        # leading h x h block. inv/log_det of A and of the Schur
+        # complement (D - B^T A^-1 B) come from the closed-form base
+        # cases below, so the whole thing stays batched einsum on the
+        # VPU. PSD of S implies PSD of A and of the Schur complement.
+        h = (do + 1) // 2
+        a, b = s[..., :h, :h], s[..., :h, h:]
+        d = s[..., h:, h:]
+        log_det_a, inv_a = _psd_inverse_small(a)
+        inv_a_b = _mm(inv_a, b)                              # [..,h,do-h]
+        schur = d - _mm(jnp.swapaxes(b, -1, -2), inv_a_b)
+        schur = 0.5 * (schur + jnp.swapaxes(schur, -1, -2))
+        log_det_sc, inv_sc = _psd_inverse_small(schur)
+        tr = -_mm(inv_a_b, inv_sc)                           # [..,h,do-h]
+        tl = inv_a - _mm(tr, jnp.swapaxes(inv_a_b, -1, -2))
+        inv = jnp.concatenate([
+            jnp.concatenate([tl, tr], axis=-1),
+            jnp.concatenate([jnp.swapaxes(tr, -1, -2), inv_sc], axis=-1),
+        ], axis=-2)
+        return log_det_a + log_det_sc, inv
+    if do > 8:
+        warnings.warn(
+            f"RBPF emission dim Do={do} > 8: falling back to per-particle "
+            "jnp.linalg.cholesky, which serializes on TPU (the measured "
+            "218x tiny-Cholesky trap, BENCH_NOTES). Structure the "
+            "emission as independent blocks of dim <= 8 if this is hot.",
+            stacklevel=2)
     if do == 1:
         det = s[..., 0, 0]
         return jnp.log(det), (1.0 / det)[..., None, None]

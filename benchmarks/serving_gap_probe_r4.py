@@ -24,10 +24,13 @@ CHAIN = 40
 
 
 def timed(fn, *args, repeats=3):
+    # Warm up with a scalar fetch, exactly as the timed loop does:
+    # block_until_ready returns early through the tunnel (CLAUDE.md), so
+    # the first timed repeat could otherwise overlap residual warmup.
     out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "block_until_ready")]
+    _ = float(leaves[0].reshape(-1)[0])
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()

@@ -304,12 +304,13 @@ class TestStructure:
 
 
 def test_psd_inverse_small_matches_cholesky():
-    """The closed-form Do<=3 solves (the tiny-Cholesky-trap bypass)
-    match the generic factorization route on random PSD batches."""
+    """The closed-form Do<=3 solves and the Do in [4, 8] Schur-block
+    recursion (the tiny-Cholesky-trap bypass) match the generic
+    factorization route on random PSD batches."""
     import numpy as np
     from aesmc_tpu.rbpf import _psd_inverse_small
     rng = np.random.RandomState(0)
-    for do in (1, 2, 3, 4):
+    for do in (1, 2, 3, 4, 5, 6, 7, 8):
         a = rng.randn(5, 7, do, do)
         s = jnp.asarray(a @ np.swapaxes(a, -1, -2) + 0.5 * np.eye(do))
         log_det, inv = _psd_inverse_small(s)
@@ -320,3 +321,20 @@ def test_psd_inverse_small_matches_cholesky():
                                    rtol=2e-6, atol=2e-6)
         np.testing.assert_allclose(np.asarray(inv), np.linalg.inv(s64),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_psd_inverse_warns_above_do8():
+    """Do > 8 engages the serialized-Cholesky fallback and must say so."""
+    import numpy as np
+    from aesmc_tpu.rbpf import _psd_inverse_small
+    rng = np.random.RandomState(1)
+    a = rng.randn(2, 3, 9, 9)
+    s = jnp.asarray(a @ np.swapaxes(a, -1, -2) + 0.5 * np.eye(9))
+    with pytest.warns(UserWarning, match="tiny-Cholesky"):
+        log_det, inv = _psd_inverse_small(s)
+    s64 = np.asarray(s, np.float64)
+    np.testing.assert_allclose(np.asarray(log_det),
+                               np.linalg.slogdet(s64)[1],
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(inv), np.linalg.inv(s64),
+                               rtol=2e-4, atol=2e-5)
