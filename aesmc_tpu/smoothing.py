@@ -503,7 +503,10 @@ def backward_simulation(original_latents, log_weights, transition,
                         backward: str = "pairwise",
                         transition_log_bound=None,
                         max_rejection_rounds: int = 64,
-                        max_exact_lanes=None):
+                        max_exact_lanes=None,
+                        mesh=None,
+                        data_axis: str = "data",
+                        particle_axis: str = "particle"):
     """Draws `num_trajectories` joint smoothing trajectories.
 
     Args:
@@ -532,6 +535,16 @@ def backward_simulation(original_latents, log_weights, transition,
             per step (lanes that exhaust the rejection rounds get an
             exact chunked Gumbel-max draw). None (default) auto-sizes
             to max(128, lanes/8); 0 disables the fallback.
+        mesh: optional `jax.sharding.Mesh`. When given, the per-step
+            candidate-parent cloud (`[B, K, ...]` latents + `[B, K]`
+            weights) is constrained to `(data_axis, particle_axis)` and
+            the `M` chosen trajectories stay replicated over the
+            particle axis, so GSPMD shards the `[B, K, M]` backward
+            tile over parents and inserts the normalizer/argmax
+            collectives itself (the same annotate-and-let-XLA-partition
+            design as `inference.infer(mesh=...)`) — joint smoothing at
+            the particle counts the distributed filter reaches.
+        data_axis / particle_axis: mesh axis names.
     Returns:
         `[T, B, M, ...]` pytree of smoothing trajectories.
     """
@@ -543,6 +556,39 @@ def backward_simulation(original_latents, log_weights, transition,
     m = num_trajectories
     stacked_obs = (stack_observations(observations)
                    if observations is not None else None)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _constrain_cloud(tree, lead_dims=1):
+            # [.., B, K, ...] with the K axis sharded over the mesh.
+            def leaf(x):
+                spec = PartitionSpec(
+                    *([None] * (lead_dims - 1)), data_axis,
+                    particle_axis, *([None] * (jnp.ndim(x) - lead_dims
+                                               - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+            return jax.tree_util.tree_map(leaf, tree)
+
+        def _constrain_chosen(tree):
+            # [B, M, ...] trajectories: replicated over the particle
+            # axis (M is small; the [B, K, M] tile shards over K).
+            def leaf(x):
+                spec = PartitionSpec(
+                    data_axis, *([None] * (jnp.ndim(x) - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+            return jax.tree_util.tree_map(leaf, tree)
+    else:
+        def _constrain_cloud(tree, lead_dims=1):
+            return tree
+
+        def _constrain_chosen(tree):
+            return tree
+
+    original_latents = _constrain_cloud(original_latents, lead_dims=2)
+    log_weights = _constrain_cloud(log_weights, lead_dims=2)
 
     def pick(latent_t, idx):
         """Gather [B, K, ...] at idx [B, M] -> [B, M, ...]."""
@@ -556,13 +602,16 @@ def backward_simulation(original_latents, log_weights, transition,
     idx_last = jax.random.categorical(
         sub, log_weights[-1][:, None, :], axis=-1,
         shape=(batch_size, m))                               # [B, M]
-    last = pick(jax.tree_util.tree_map(lambda x: x[-1],
-                                       original_latents), idx_last)
+    last = _constrain_chosen(
+        pick(jax.tree_util.tree_map(lambda x: x[-1], original_latents),
+             idx_last))
 
     # ---- t = T-2 .. 0 (reverse scan).
     def step(carry, inputs):
-        chosen = carry                                       # [B, M, ...]
+        chosen = _constrain_chosen(carry)                    # [B, M, ...]
         latent_t, logw_t, t, obs_prev, sub = inputs
+        latent_t = _constrain_cloud(latent_t)
+        logw_t = _constrain_cloud(logw_t)
         # Transition from t to t+1: engine convention is
         # previous_observations = [y_t] at time t+1.
         time = TimeIndex(t + 1)
@@ -619,7 +668,10 @@ def paris(observations, initial, transition, emission, proposal,
           max_rejection_rounds: int = 64,
           max_exact_lanes=None,
           remat: bool = True,
-          scan_unroll: int = 1):
+          scan_unroll: int = 1,
+          mesh=None,
+          data_axis: str = "data",
+          particle_axis: str = "particle"):
     """PaRIS: forward-only smoothing of an additive functional.
 
     Runs a fresh SMC filter over `observations` while every particle
@@ -682,6 +734,15 @@ def paris(observations, initial, transition, emission, proposal,
             chunked Gumbel-max draw). None (default) auto-sizes to
             max(128, lanes/8); 0 disables the fallback.
         remat: rematerialize the scan body on the backward pass.
+        mesh: optional `jax.sharding.Mesh`. The carried particle cloud
+            (latents, weights, per-particle tau statistics) is
+            constrained to `(data_axis, particle_axis)` so GSPMD shards
+            the filter AND the `[B, K_child, K_parent]` backward-kernel
+            tile (children sharded, parents all-gathered by XLA) — the
+            same annotate-and-partition design as
+            `online.make_online_filter(mesh=...)`'s streaming PaRIS,
+            here for the offline pass.
+        data_axis / particle_axis: mesh axis names.
 
     Returns:
         dict with 'smoothed' `[batch(, D)]` (the estimate of
@@ -717,6 +778,21 @@ def paris(observations, initial, transition, emission, proposal,
     resolved_impl = resampling.resolve_implementation(
         (batch_size, k), resampling_method, resampling_implementation)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _constrain(tree):
+            def leaf(x):
+                spec = PartitionSpec(
+                    data_axis, particle_axis,
+                    *([None] * (jnp.ndim(x) - 2)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+            return jax.tree_util.tree_map(leaf, tree)
+    else:
+        def _constrain(tree):
+            return tree
+
     # ---- t = 0 (hoisted).
     proposal_dist = proposal(time=0, observations=obs_seq)
     latent_0 = state.sample(proposal_dist, batch_size, k, step_keys[0, 1])
@@ -726,6 +802,8 @@ def paris(observations, initial, transition, emission, proposal,
                     - state.log_prob(proposal_dist, latent_0))
     tau_0 = (jnp.asarray(h0(latent_0)) if h0 is not None
              else jnp.zeros((batch_size, k), log_weight_0.dtype))
+    latent_0, log_weight_0, tau_0 = _constrain(
+        (latent_0, log_weight_0, tau_0))
 
     if num_timesteps == 1:
         w = jax.nn.softmax(log_weight_0, axis=1)
@@ -749,7 +827,7 @@ def paris(observations, initial, transition, emission, proposal,
                                                    obs_seq[0])
 
     def step(carry, inputs):
-        prev_latent, prev_log_weight, tau = carry
+        prev_latent, prev_log_weight, tau = _constrain(carry)
         obs_t, obs_prev, t, keys_t = inputs
         time = TimeIndex(t)
         prev_obs_list = [obs_prev]
