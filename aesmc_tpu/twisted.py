@@ -794,13 +794,16 @@ def learn_twist(observations, spec: GaussianSSMSpec, emission,
         num_timesteps, batch_size, dim, dtype=jnp.result_type(float))
 
     need_lw = weighted or fit_jitter > 0
-    log_zs = []
-    twists = []
-    for _ in range(num_iterations):
-        twists.append(twist)
-        key, subkey, fit_key = jax.random.split(key, 3)
+
+    # One jitted program per PHASE, compiled once and reused across
+    # iterations/candidates (round-5, VERDICT r4 #6): the previous
+    # un-jitted loop eager-dispatched every op of every iteration
+    # through the device relay AND re-traced per iteration - that, not
+    # the ADP math, was the 76-161 s wall at K=2048. The key-split
+    # structure is unchanged, so results are bit-identical.
+    def _one_iteration(tw, subkey, fit_key):
         out = twisted_smc(
-            y, spec, emission, twist, num_particles, key=subkey,
+            y, spec, emission, tw, num_particles, key=subkey,
             return_latents=False, return_original_latents=True,
             return_log_weights=need_lw, **smc_kwargs)
         fitted = _adp_refit(
@@ -809,9 +812,9 @@ def learn_twist(observations, spec: GaussianSSMSpec, emission,
             fit_jitter=fit_jitter, key=fit_key)
         if damping:
             fitted = QuadraticTwist(
-                A=(1.0 - damping) * fitted.A + damping * twist.A,
-                b=(1.0 - damping) * fitted.b + damping * twist.b,
-                c=(1.0 - damping) * fitted.c + damping * twist.c)
+                A=(1.0 - damping) * fitted.A + damping * tw.A,
+                b=(1.0 - damping) * fitted.b + damping * tw.b,
+                c=(1.0 - damping) * fitted.c + damping * tw.c)
         if max_precision_ratio is not None:
             # Row 0 twists the INITIAL kernel (scale s0), rows 1..T-1
             # the transition kernel (scale s).
@@ -830,8 +833,17 @@ def learn_twist(observations, spec: GaussianSSMSpec, emission,
                 fitted.A, 1e-30), 1.0)
             fitted = QuadraticTwist(A=a_new, b=fitted.b * scale,
                                     c=fitted.c)
-        twist = fitted
-        log_zs.append(out["log_marginal_likelihood"])
+        return fitted, out["log_marginal_likelihood"]
+
+    one_iteration = jax.jit(_one_iteration)
+
+    log_zs = []
+    twists = []
+    for _ in range(num_iterations):
+        twists.append(twist)
+        key, subkey, fit_key = jax.random.split(key, 3)
+        twist, lz = one_iteration(twist, subkey, fit_key)
+        log_zs.append(lz)
     if keep == "last":
         return twist, {"log_marginal_likelihood": jnp.stack(log_zs)}
     # keep='best': score every candidate at the DEPLOY particle count,
@@ -839,15 +851,18 @@ def learn_twist(observations, spec: GaussianSSMSpec, emission,
     twists.append(twist)
     k_score = (num_particles if keep_num_particles is None
                else keep_num_particles)
+    score_one = jax.jit(lambda t, ks: jnp.mean(
+        jax.vmap(lambda k: twisted_smc(
+            y, spec, emission, t, k_score, key=k,
+            return_latents=False, return_log_weight=False,
+            **smc_kwargs)["log_marginal_likelihood"])(ks), axis=0))
     scores = []
     for tw in twists:
         key, subkey = jax.random.split(key)
         seed_keys = jax.random.split(subkey, int(keep_num_seeds))
-        lz = jax.vmap(lambda k, t=tw: twisted_smc(
-            y, spec, emission, t, k_score, key=k,
-            return_latents=False, return_log_weight=False,
-            **smc_kwargs)["log_marginal_likelihood"])(seed_keys)
-        scores.append(jnp.mean(lz, axis=0))
+        # One compiled scoring program, reused for every candidate
+        # (identical shapes; the twist is a traced argument).
+        scores.append(score_one(tw, seed_keys))
     scores = jnp.stack(scores)                        # [iters + 1, B]
     sel = jnp.argmax(scores, axis=0)                  # [B]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *twists)

@@ -9,13 +9,20 @@ path) and [B, K, D] categorical model math. This probe isolates which.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/hmm_gap_probe_r4.py
 """
 
+import pathlib
 import time
 
 import jax
-import jax.numpy as jnp
 
-from aesmc_tpu import inference, statistics
-from aesmc_tpu.models import hmm, lgssm
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import jax.numpy as jnp  # noqa: E402
+
+from aesmc_tpu import inference, statistics  # noqa: E402
+from aesmc_tpu.models import hmm, lgssm  # noqa: E402
 
 T, B, K = 200, 10, 10_000
 CHAIN = 10
