@@ -37,6 +37,29 @@ from .. import distributions as dists
 from ..state import BatchShapeMode
 
 
+def _row_lookup(table, idx):
+    """`table[idx]` for a small table `[D, ...]` and int32 `idx [B, K]`.
+
+    For D <= 64 the gather is computed as a one-hot masked SUM
+    (bit-exact: exactly one nonzero term per output) - int-indexed
+    gathers at [B, K] index counts serialize row-at-a-time on TPU,
+    while the masked sum is dense elementwise VPU work. Deliberately
+    NOT an einsum: an f32 one-hot matmul can route to the MXU, which
+    accumulates at ~bf16 precision (CLAUDE.md Mosaic gotcha) and would
+    round the table values. Round-5 discrete-path fix (VERDICT r4 #1).
+    """
+    table = jnp.asarray(table)
+    d = table.shape[0]
+    if d > 64:
+        return table[idx]
+    iota = jnp.arange(d, dtype=jnp.int32)
+    if table.ndim == 1:
+        return jnp.sum(jnp.where(idx[..., None] == iota, table, 0.0),
+                       axis=-1)
+    mask = idx[..., None, None] == iota[:, None]   # [..., D, 1]
+    return jnp.sum(jnp.where(mask, table, 0.0), axis=-2)
+
+
 @struct.dataclass
 class Initial:
     """p(x_0) = Categorical(softmax(logits)), logits `[D]`."""
@@ -63,7 +86,7 @@ class Transition:
                  previous_observations=None):
         prev = jnp.asarray(previous_latents[-1]).astype(jnp.int32)
         return dists.Categorical(
-            jnp.asarray(self.logits)[prev],
+            _row_lookup(self.logits, prev),
             batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
 
     def log_bound(self, prev_latent, time, previous_observations):
@@ -86,7 +109,7 @@ class Emission:
                  previous_observations=None):
         idx = jnp.asarray(latents[-1]).astype(jnp.int32)
         return dists.Normal(
-            jnp.asarray(self.locs)[idx], self.scale,
+            _row_lookup(self.locs, idx), self.scale,
             batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
 
 
@@ -120,7 +143,7 @@ class Proposal:
             return dists.Categorical(
                 logits, batch_shape_mode=BatchShapeMode.BATCH_EXPANDED)
         prev = jnp.asarray(previous_latents[-1]).astype(jnp.int32)
-        logits = (jnp.asarray(self.transition_logits)[prev] +
+        logits = (_row_lookup(self.transition_logits, prev) +
                   loglik[:, None, :])                         # [B, K, D]
         return dists.Categorical(
             logits, batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
@@ -139,7 +162,7 @@ class BootstrapProposal:
             return dists.Categorical(jnp.asarray(self.initial_logits))
         prev = jnp.asarray(previous_latents[-1]).astype(jnp.int32)
         return dists.Categorical(
-            jnp.asarray(self.transition_logits)[prev],
+            _row_lookup(self.transition_logits, prev),
             batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
 
 
