@@ -143,16 +143,26 @@ def decompose(K):
     t_smc = timed_scan("plain SMC full sweep", smc_run,
                        (jnp.float32(0), key), 1)
 
-    def sqmc_run(c, _):
-        acc, k = c
-        k, sub = jax.random.split(k)
-        out = sqmc.sqmc_infer(
-            obs, *comps, num_particles=K, key=sub,
-            return_log_marginal_likelihood=True, return_latents=False,
-            return_log_weight=False)
-        return (acc + jnp.mean(out["log_marginal_likelihood"]), k), None
-    t_sqmc = timed_scan("SQMC full sweep", sqmc_run,
-                        (jnp.float32(0), key), 1)
+    def make_sqmc_run(impl):
+        def sqmc_run(c, _):
+            acc, k = c
+            k, sub = jax.random.split(k)
+            out = sqmc.sqmc_infer(
+                obs, *comps, num_particles=K, key=sub,
+                resampling_implementation=impl,
+                return_log_marginal_likelihood=True,
+                return_latents=False, return_log_weight=False)
+            return (acc + jnp.mean(out["log_marginal_likelihood"]),
+                    k), None
+        return sqmc_run
+
+    t_sqmc = timed_scan("SQMC full sweep (xla icdf)",
+                        make_sqmc_run("xla"), (jnp.float32(0), key), 1)
+    t_sqmc_p = timed_scan("SQMC full sweep (pallas fused icdf)",
+                          make_sqmc_run("pallas"),
+                          (jnp.float32(0), key), 1)
+    print(f"  pallas-route speedup: {t_sqmc / t_sqmc_p:.2f}x",
+          flush=True)
 
     step_sqmc = t_sqmc / T
     step_smc = t_smc / T
