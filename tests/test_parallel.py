@@ -636,6 +636,22 @@ class TestDistributedSmoothing:
         np.testing.assert_allclose(np.asarray(traj_mesh),
                                    np.asarray(traj_plain), atol=1e-5)
 
+    def test_rejection_backward_rides_mesh(self):
+        from aesmc_tpu import smoothing
+        comps, obs, out = self._run_filter()
+        mesh = parallel.make_mesh(data=2, particle=4)
+        traj = jax.jit(
+            lambda lat, lw: smoothing.backward_simulation(
+                lat, lw, comps[1], num_trajectories=4, key=KEY,
+                observations=obs, backward="rejection", mesh=mesh))(
+            out["original_latents"], out["log_weights"])
+        assert np.isfinite(np.asarray(traj)).all()
+        o = jax.jit(
+            lambda ob: smoothing.paris(
+                ob, *comps, num_particles=32, h=lambda p, c, t: c,
+                key=KEY, backward="rejection", mesh=mesh))(obs)
+        assert np.isfinite(np.asarray(o["smoothed"])).all()
+
     def test_paris_mesh_matches_single_device(self):
         from aesmc_tpu import smoothing
         comps, obs, _ = self._run_filter()
