@@ -21,6 +21,8 @@ Shapes follow the torch/tfp convention:
 
 from __future__ import annotations
 
+import os as _os
+
 import math as _stdmath
 from typing import Any, Optional, Tuple
 
@@ -295,7 +297,7 @@ class Categorical(Distribution):
                                      batch + log_probs.shape[-1:])
         value = jnp.broadcast_to(value, batch)
         d = log_probs.shape[-1]
-        if d <= 64:
+        if d <= 64 and not _os.environ.get("AESMC_HMM_INDEX_GATHER"):
             # One-hot multiply-sum instead of a last-axis gather: the
             # category axis maps to TPU lanes, where take_along_axis is
             # a cross-lane dynamic select; the masked sum is pure

@@ -26,6 +26,7 @@ role `models.kalman` plays for the linear-Gaussian families.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any
 
 import jax
@@ -50,7 +51,8 @@ def _row_lookup(table, idx):
     """
     table = jnp.asarray(table)
     d = table.shape[0]
-    if d > 64:
+    if d > 64 or _os.environ.get("AESMC_HMM_INDEX_GATHER"):
+        # Escape hatch for A/B measurement (hmm_gap_probe_r4.py).
         return table[idx]
     iota = jnp.arange(d, dtype=jnp.int32)
     if table.ndim == 1:

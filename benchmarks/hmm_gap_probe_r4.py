@@ -75,6 +75,15 @@ def main():
     row("HMM bootstrap, never resample (ESS 1e-6)", hm_boot, obs,
         resampling_criterion=1e-6)
 
+    # A/B the round-5 one-hot masked-sum lookup fix against the pre-r5
+    # int-indexed gather path (env toggle read at trace time).
+    import os
+    os.environ["AESMC_HMM_INDEX_GATHER"] = "1"
+    try:
+        row("HMM bootstrap, auto, PRE-R5 index gathers", hm_boot, obs)
+    finally:
+        del os.environ["AESMC_HMM_INDEX_GATHER"]
+
     # LGSSM control at the identical shape.
     lg = (lgssm.Initial(0.0, 1.0), lgssm.Transition.create(0.9, 1.0),
           lgssm.Emission.create(1.0, 0.2),
