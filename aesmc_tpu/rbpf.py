@@ -201,7 +201,9 @@ def rbpf(observations, initial, transition, linear_initial,
          key=None, proposal=None, ess_threshold: float = 1.0,
          resampling_method: str = "systematic",
          resampling_implementation="auto",
-         return_history: bool = False):
+         return_history: bool = False,
+         mesh=None, data_axis: str = "data",
+         particle_axis: str = "particle"):
     """Runs the Rao-Blackwellized particle filter.
 
     Args:
@@ -234,6 +236,15 @@ def rbpf(observations, initial, transition, linear_initial,
             routes the ancestor search through the fused Pallas kernel
             at kernel-worthy K on a real TPU.
         return_history: also return per-step particles and moments.
+        mesh / data_axis / particle_axis: optional `jax.sharding.Mesh`
+            (round-5): the carried cloud — u, per-particle Kalman
+            moments (m, P), weights — is constrained to
+            `(data_axis, particle_axis)`, so GSPMD shards the batched
+            einsum Kalman recursion over particles and inserts the
+            logsumexp/resampling collectives (same
+            annotate-and-partition design as `inference.infer`). Pair
+            with a distributed `resampling_implementation` callable for
+            bit-exact cross-device resampling.
 
     Returns:
         dict:
@@ -270,6 +281,21 @@ def rbpf(observations, initial, transition, linear_initial,
     k_shape = (batch_size, num_particles)
     log_k = _stdmath.log(num_particles)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _constrain(tree):
+            def leaf(x):
+                spec = PartitionSpec(
+                    data_axis, particle_axis,
+                    *([None] * (jnp.ndim(x) - 2)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+            return jax.tree_util.tree_map(leaf, tree)
+    else:
+        def _constrain(tree):
+            return tree
+
     def propose(dist_prior, dist_q, k):
         """Sample u from q (or the prior) and return (u, correction)."""
         dist_prior = _tag_mode(dist_prior, batch_size, num_particles)
@@ -299,6 +325,7 @@ def rbpf(observations, initial, transition, linear_initial,
     r = _bc(r, k_shape + (obs_dim, obs_dim))
     inc, m, p = _gaussian_update(m, p, c, d, r, obs_arr[0])
     log_w = inc + correction                              # [B, K]
+    u, m, p, log_w = _constrain((u, m, p, log_w))
     log_z = jax.nn.logsumexp(log_w, axis=1) - log_k       # [B]
     norm_w0 = jax.nn.softmax(log_w, axis=1)
     fmean0 = jnp.einsum("bk,bkd->bd", norm_w0, m)
@@ -307,6 +334,7 @@ def rbpf(observations, initial, transition, linear_initial,
 
     def step(carry, inputs):
         u, m, p, log_w, log_z, key = carry
+        u, m, p, log_w = _constrain((u, m, p, log_w))
         y_t, t = inputs
         key, k_res, k_prop = jax.random.split(key, 3)
 
