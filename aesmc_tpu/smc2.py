@@ -62,7 +62,9 @@ def smc2(observations, build_components, theta0, log_prior,
          step_size=0.15,
          resampling_method: str = "systematic",
          resampling_implementation="auto",
-         return_history: bool = False):
+         return_history: bool = False,
+         mesh=None, theta_axis: str = "data",
+         particle_axis: str = "particle"):
     """Online parameter + state inference by nested SMC.
 
     Args:
@@ -94,6 +96,13 @@ def smc2(observations, build_components, theta0, log_prior,
             [M*B, K] batch, so 'auto' routes through the fused Pallas
             kernel at kernel-worthy sizes.
         return_history: also return per-step theta-posterior history.
+        mesh / theta_axis / particle_axis: optional `jax.sharding.Mesh`
+            (round-5): the theta cloud (and its per-theta inner-filter
+            state) is constrained over `theta_axis` and the inner
+            particle axis over `particle_axis`, so GSPMD partitions the
+            [M, B, K] nested filters across devices - M independent
+            filters are embarrassingly parallel; only the theta-cloud
+            resampling/logsumexp and PMMH acceptance cross shards.
 
     Returns:
         dict:
@@ -135,6 +144,29 @@ def smc2(observations, build_components, theta0, log_prior,
                 float)), step_size), one_theta)
     else:
         step_tree = jax.tree_util.tree_map(jnp.asarray, step_size)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _spec_for(x, ndim_theta_only):
+            # [M, ...] theta-cloud leaves: theta axis sharded. Arrays
+            # with an inner particle axis ([M, B, K, ...]) also shard K.
+            nd = jnp.ndim(x)
+            if nd >= 3 and not ndim_theta_only:
+                return PartitionSpec(theta_axis, None, particle_axis,
+                                     *([None] * (nd - 3)))
+            return PartitionSpec(theta_axis, *([None] * (nd - 1)))
+
+        def _constrain_cloud(tree, theta_only=False):
+            def leaf(x):
+                if jnp.ndim(x) == 0:
+                    return x
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, _spec_for(x, theta_only)))
+            return jax.tree_util.tree_map(leaf, tree)
+    else:
+        def _constrain_cloud(tree, theta_only=False):
+            return tree
 
     # ---- single-theta inner-filter pieces (vmapped over M below).
     def inner_init(theta, k):
@@ -299,6 +331,11 @@ def smc2(observations, build_components, theta0, log_prior,
     def outer_step(carry, inputs):
         (theta, latent, logw, cum, log_theta_w, log_evidence,
          accepted, n_rejuv) = carry
+        theta = _constrain_cloud(theta, theta_only=True)
+        latent = _constrain_cloud(latent)
+        logw = _constrain_cloud(logw)
+        cum = _constrain_cloud(cum, theta_only=True)
+        log_theta_w = _constrain_cloud(log_theta_w, theta_only=True)
         obs_t, obs_prev, t, kk = inputs
         k_adv, k_rej = jax.random.split(kk)
         latent, logw, inc = advance(theta, latent, logw, obs_t,

@@ -768,3 +768,35 @@ class TestDistributedRBPF:
         np.testing.assert_allclose(
             np.asarray(out_mesh["filtered_means"]),
             np.asarray(out_plain["filtered_means"]), atol=1e-4)
+
+
+class TestDistributedSMC2:
+    """Round-5 bonus: SMC^2's nested [M, B, K] filters partition over
+    (theta, particle) mesh axes via GSPMD constraints."""
+
+    def test_smc2_mesh_matches_single_device(self):
+        from aesmc_tpu import smc2
+        mesh = parallel.make_mesh(data=2, particle=4)
+        key = jax.random.PRNGKey(5)
+        T, B, M, K = 8, 1, 8, 16
+        initial = lgssm.Initial(0.0, 1.0)
+        transition = lgssm.Transition.create(0.8, 1.0)
+        emission = lgssm.Emission.create(1.0, 0.7)
+        proposal = lgssm.Proposal.create(1.0, 1.0, key)
+        _, obs = statistics.sample_from_prior(
+            initial, transition, emission, T, B, key)
+
+        def build(theta):
+            return (initial,
+                    lgssm.Transition(mult=theta["mult"], scale=1.0),
+                    emission, proposal)
+
+        theta0 = {"mult": 0.8 + 0.2 * jax.random.normal(key, (M,))}
+        log_prior = lambda th: -0.5 * ((th["mult"] - 0.8) / 0.2) ** 2
+        kwargs = dict(num_particles=K, key=key)
+        out_plain = smc2.smc2(obs, build, theta0, log_prior, **kwargs)
+        out_mesh = jax.jit(lambda o: smc2.smc2(
+            o, build, theta0, log_prior, mesh=mesh, **kwargs))(obs)
+        np.testing.assert_allclose(
+            float(out_mesh["log_evidence"]),
+            float(out_plain["log_evidence"]), atol=1e-4)
