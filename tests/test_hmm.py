@@ -270,3 +270,32 @@ class TestParisOnDiscrete:
             # relative: total transitions = T-1 per row
             np.testing.assert_allclose(counts.sum(axis=(1, 2)), T - 1,
                                        rtol=1e-4)
+
+
+class TestIndexGatherEscapeHatch:
+    def test_one_hot_route_bit_matches_index_gather(self, monkeypatch):
+        """AESMC_HMM_INDEX_GATHER=1 flips `hmm._row_lookup` and
+        `Categorical.log_prob` back to plain int-indexed gathers; the
+        default one-hot masked-sum route is bit-exact (exactly one
+        nonzero term per output), so full filter outputs must agree
+        EXACTLY, not to tolerance. Fresh jit wrappers per run so the
+        env flip is observed at trace time (round-5 discrete-path fix,
+        VERDICT r4 #1)."""
+        comps, obs = _setup()
+
+        def run():
+            fn = jax.jit(lambda o, k: inference.infer(
+                "smc", o, *comps, 256, key=k,
+                return_log_marginal_likelihood=True,
+                return_ancestral_indices=True))
+            out = fn(obs, jax.random.PRNGKey(5))
+            return jax.tree_util.tree_map(np.asarray, out)
+
+        out_onehot = run()
+        monkeypatch.setenv("AESMC_HMM_INDEX_GATHER", "1")
+        out_gather = run()
+        leaves_a = jax.tree_util.tree_leaves(out_onehot)
+        leaves_b = jax.tree_util.tree_leaves(out_gather)
+        assert len(leaves_a) == len(leaves_b) and len(leaves_a) >= 3
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(a, b)
