@@ -299,3 +299,34 @@ class TestIndexGatherEscapeHatch:
         assert len(leaves_a) == len(leaves_b) and len(leaves_a) >= 3
         for a, b in zip(leaves_a, leaves_b):
             np.testing.assert_array_equal(a, b)
+
+
+class TestFusedKernelRoute:
+    def test_pallas_route_bit_matches_xla(self):
+        """Round-5 discrete-path fix: int32 HMM particles ride the fused
+        resample+gather kernel (exact 16-bit-pair f32 transport in
+        resampling._split_columns) instead of silently bypassing it.
+        Same key, same method => identical ancestors, latents, and
+        log-Z down to the bit vs the xla route (values pass through the
+        kernel as masked sums with one nonzero term)."""
+        from aesmc_tpu.ops import resample_pallas
+        comps, obs = _setup()
+        kwargs = dict(key=jax.random.PRNGKey(11),
+                      resampling_method="systematic",
+                      return_log_marginal_likelihood=True,
+                      return_ancestral_indices=True)
+        resample_pallas.FORCE_INTERPRET = True
+        try:
+            out_p = inference.infer("smc", obs, *comps, 512,
+                                    resampling_implementation="pallas",
+                                    **kwargs)
+            out_p = jax.tree_util.tree_map(np.asarray, out_p)
+        finally:
+            resample_pallas.FORCE_INTERPRET = False
+        out_x = inference.infer("smc", obs, *comps, 512,
+                                resampling_implementation="xla", **kwargs)
+        out_x = jax.tree_util.tree_map(np.asarray, out_x)
+        assert out_p["latents"].dtype == out_x["latents"].dtype
+        for k in ("ancestral_indices", "latents",
+                  "log_marginal_likelihood"):
+            np.testing.assert_array_equal(out_p[k], out_x[k], k)
