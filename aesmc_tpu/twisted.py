@@ -422,6 +422,28 @@ def make_discrete_twisted_components(spec: DiscreteSSMSpec, emission,
     def _tindex(time):
         return time if isinstance(time, int) else jnp.asarray(time)
 
+    # One-hot masked-sum lookups instead of int-indexed gathers: the
+    # round-5 HMM decomposition (BENCH_NOTES "HMM gap CLOSED") measured
+    # [B, K]-indexed table gathers at ~6.5x the masked-sum cost on TPU
+    # (cross-lane dynamic selects serialize per index). Both are
+    # bit-exact (exactly one nonzero term per output). D <= 64 here by
+    # the same threshold as models.hmm._row_lookup.
+    iota_d = jnp.arange(num_states, dtype=jnp.int32)
+
+    def _rows(table, idx):
+        """`table[idx]` for `table [D, D]`, `idx [B, K]` -> [B, K, D]."""
+        if num_states > 64:
+            return table[idx]
+        mask = idx[..., None, None] == iota_d[:, None]
+        return jnp.sum(jnp.where(mask, table, 0.0), axis=-2)
+
+    def _per_batch(table_bd, idx):
+        """`out[b, k] = table_bd[b, idx[b, k]]` for `table_bd [B, D]`."""
+        if num_states > 64:
+            return jnp.take_along_axis(table_bd, idx, axis=1)
+        return jnp.sum(jnp.where(idx[..., None] == iota_d,
+                                 table_bd[:, None, :], 0.0), axis=-1)
+
     def initial_():
         return dists.Categorical(
             logpi0[None, :] + logpsi[0],
@@ -432,7 +454,7 @@ def make_discrete_twisted_components(spec: DiscreteSSMSpec, emission,
         del previous_observations
         t = _tindex(time)
         prev = jnp.asarray(previous_latents[-1]).astype(jnp.int32)
-        logits = logP[prev] + psi_pad[t][:, None, :]          # [B, K, D]
+        logits = _rows(logP, prev) + psi_pad[t][:, None, :]   # [B, K, D]
         return dists.Categorical(
             logits, batch_shape_mode=BatchShapeMode.FULLY_EXPANDED)
 
@@ -447,8 +469,8 @@ def make_discrete_twisted_components(spec: DiscreteSSMSpec, emission,
                         previous_observations=previous_observations)
         t = _tindex(time)
         x = jnp.asarray(latents[-1]).astype(jnp.int32)        # [B, K]
-        corr = (jnp.take_along_axis(psitilde_pad[t + 1], x, axis=1)
-                - jnp.take_along_axis(psi_pad[t], x, axis=1))
+        corr = (_per_batch(psitilde_pad[t + 1], x)
+                - _per_batch(psi_pad[t], x))
         if isinstance(time, int) and time == 0:
             corr = corr + log_mu_psi0[:, None]
         return LogCorrectedDistribution(
