@@ -79,3 +79,37 @@ def distributed_logsumexp(values, axis_name: str, axis: int | None = None):
         local_sum = shifted
     global_sum = jax.lax.psum(local_sum, axis_name)
     return jnp.log(global_sum) + safe_max
+
+
+def table_lookup(table, idx, *, threshold: int = 64):
+    """`table[idx]` for a SMALL leading-axis table, TPU-fast.
+
+    table `[D, ...]`, integer idx `[...]` -> `idx.shape + table.shape[1:]`.
+
+    For ``D <= threshold`` this computes a one-hot masked SUM (pure
+    elementwise VPU work, bit-exact: exactly one nonzero term per
+    output) instead of an int-indexed gather. `[B, K]`-indexed gathers
+    of small tables lower to cross-lane dynamic selects on TPU and were
+    measured ~6.5x slower than the masked sum in the round-5 HMM
+    decomposition (BENCH_NOTES "HMM gap CLOSED"); the same pattern cost
+    the discrete twisted path 5.9x. Use this for any per-particle
+    lookup of regime/state tables (switching models, HMMs, mixture
+    indicator models). Deliberately NOT an einsum: an f32 one-hot
+    matmul can route to the MXU, which accumulates at ~bf16 precision
+    and would round the table values. Falls back to the plain gather
+    above ``threshold`` (the [*, D] intermediate grows linearly in D).
+    """
+    table = jnp.asarray(table)
+    idx = jnp.asarray(idx).astype(jnp.int32)
+    d = table.shape[0]
+    if d > threshold:
+        return table[idx]
+    iota = jnp.arange(d, dtype=jnp.int32)
+    zero = jnp.asarray(0, table.dtype)
+    if table.ndim == 1:
+        return jnp.sum(jnp.where(idx[..., None] == iota, table, zero),
+                       axis=-1)
+    flat = table.reshape(d, -1)
+    mask = idx[..., None, None] == iota[:, None]
+    out = jnp.sum(jnp.where(mask, flat, zero), axis=-2)
+    return out.reshape(idx.shape + table.shape[1:])

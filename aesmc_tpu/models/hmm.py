@@ -49,17 +49,10 @@ def _row_lookup(table, idx):
     accumulates at ~bf16 precision (CLAUDE.md Mosaic gotcha) and would
     round the table values. Round-5 discrete-path fix (VERDICT r4 #1).
     """
-    table = jnp.asarray(table)
-    d = table.shape[0]
-    if d > 64 or _os.environ.get("AESMC_HMM_INDEX_GATHER"):
-        # Escape hatch for A/B measurement (hmm_gap_probe_r4.py).
-        return table[idx]
-    iota = jnp.arange(d, dtype=jnp.int32)
-    if table.ndim == 1:
-        return jnp.sum(jnp.where(idx[..., None] == iota, table, 0.0),
-                       axis=-1)
-    mask = idx[..., None, None] == iota[:, None]   # [..., D, 1]
-    return jnp.sum(jnp.where(mask, table, 0.0), axis=-2)
+    from .. import math as _amath
+    threshold = 0 if _os.environ.get("AESMC_HMM_INDEX_GATHER") else 64
+    # threshold=0: escape hatch for A/B measurement (hmm_gap_probe_r4).
+    return _amath.table_lookup(table, idx, threshold=threshold)
 
 
 @struct.dataclass

@@ -61,6 +61,7 @@ from flax import struct
 
 from . import distributions as dists
 from . import inference as ainference
+from . import math as amath
 from . import state as astate
 from .state import BatchShapeMode
 
@@ -432,10 +433,7 @@ def make_discrete_twisted_components(spec: DiscreteSSMSpec, emission,
 
     def _rows(table, idx):
         """`table[idx]` for `table [D, D]`, `idx [B, K]` -> [B, K, D]."""
-        if num_states > 64:
-            return table[idx]
-        mask = idx[..., None, None] == iota_d[:, None]
-        return jnp.sum(jnp.where(mask, table, 0.0), axis=-2)
+        return amath.table_lookup(table, idx)
 
     def _per_batch(table_bd, idx):
         """`out[b, k] = table_bd[b, idx[b, k]]` for `table_bd [B, D]`."""

@@ -85,6 +85,7 @@ def wave():
     from aesmc_tpu import (blockpf, distributions, if2, rbpf,
                            resample_move, samplers, smc2, sqmc,
                            statistics)
+    from aesmc_tpu import math as amath
     from aesmc_tpu.models import lgssm, lorenz
 
     key = jax.random.PRNGKey(0)
@@ -109,10 +110,12 @@ def wave():
             initial=lambda: distributions.Categorical(logits=pi0),
             transition=lambda previous_latents, time:
                 distributions.Categorical(
-                    logits=pmat[previous_latents[0]]),
+                    logits=amath.table_lookup(pmat,
+                                              previous_latents[0])),
             linear_initial=lambda u0: (jnp.zeros(D), jnp.eye(D)),
             linear_dynamics=lambda u, time: (
-                a_by_regime[u][..., None, None] * a_mat,
+                amath.table_lookup(a_by_regime, u)[..., None, None]
+                * a_mat,
                 jnp.zeros(D), qc),
             linear_emission=lambda u, time: (cm, jnp.zeros(1), rv),
             num_particles=K, key=k)["log_marginal_likelihood"]
@@ -357,10 +360,12 @@ def wave():
             initial=lambda: distributions.Categorical(logits=pi0),
             transition=lambda previous_latents, time:
                 distributions.Categorical(
-                    logits=pmat[previous_latents[0]]),
+                    logits=amath.table_lookup(pmat,
+                                              previous_latents[0])),
             linear_initial=lambda u0: (jnp.zeros(D), jnp.eye(D)),
             linear_dynamics=lambda u, time: (
-                a_by_regime[u][..., None, None] * a_mat,
+                amath.table_lookup(a_by_regime, u)[..., None, None]
+                * a_mat,
                 jnp.zeros(D), qc),
             linear_emission=lambda u, time: (c4, jnp.zeros(4), r4),
             num_particles=K, key=sub)["log_marginal_likelihood"]

@@ -92,3 +92,33 @@ class TestDistributedLogsumexp:
         expected = jax.nn.logsumexp(values, axis=1)
         np.testing.assert_allclose(np.asarray(distributed(values)),
                                    np.asarray(expected), atol=1e-5)
+
+
+class TestTableLookup:
+    """Round-5 public helper: one-hot masked-sum `table[idx]` for small
+    tables (the TPU-fast route behind the HMM/discrete fixes)."""
+
+    def test_matches_plain_gather_all_ranks(self):
+        key = jax.random.PRNGKey(0)
+        idx = jax.random.randint(key, (3, 7), 0, 5)
+        for trailing in [(), (4,), (2, 3)]:
+            table = jax.random.normal(jax.random.PRNGKey(1),
+                                      (5,) + trailing)
+            out = amath.table_lookup(table, idx)
+            np.testing.assert_array_equal(np.asarray(out),
+                                          np.asarray(table[idx]))
+
+    def test_int_table_dtype_preserved(self):
+        table = jnp.asarray([[3, -7], [100, 0], [5, 5]], jnp.int32)
+        idx = jnp.asarray([[0, 2, 1]])
+        out = amath.table_lookup(table, idx)
+        assert out.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(table[idx]))
+
+    def test_threshold_falls_back(self):
+        table = jax.random.normal(jax.random.PRNGKey(2), (5, 2))
+        idx = jnp.asarray([[4, 0]])
+        out = amath.table_lookup(table, idx, threshold=0)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(table[idx]))
