@@ -237,6 +237,27 @@ def main():
         f"{particle_steps_per_sec/1e6:.2f} M particle-steps/s "
         f"(first call incl compile: {time.time()-t0:.1f}s)")
 
+    # ---- Discrete family at the identical shape (round-5 gap fix:
+    # one-hot lookups + integer fused-kernel transport; was ~13x under
+    # the headline, see BENCH_NOTES "HMM gap CLOSED").
+    from aesmc_tpu.models import hmm as hmm_model
+    hcomps = hmm_model.make_model(num_states=8, proposal="optimal")
+    _, hobs = statistics.sample_from_prior(hcomps[0], hcomps[1],
+                                           hcomps[2], T, B, key)
+    def hmm_step(carry):
+        lml, k = carry
+        k, sub = jax.random.split(k)
+        out = inference.infer(
+            "smc", hobs, *hcomps, K, key=sub,
+            return_log_marginal_likelihood=True, return_latents=False,
+            return_log_weight=False)["log_marginal_likelihood"]
+        return lml + jnp.mean(out), k
+
+    dt_hmm = timed_chained(hmm_step, (jnp.float32(0), key))
+    hmm_ps = B * K * T / dt_hmm
+    log(f"HMM D=8 (fully-adapted) same shape: {dt_hmm*1e3:.2f} ms/call "
+        f"= {hmm_ps/1e6:.2f} M particle-steps/s")
+
     # ---- Secondary: AESMC train step at the reference training config.
     import optax
     from aesmc_tpu import train as atrain
@@ -409,6 +430,7 @@ def main():
         # in round 5: the old key mixed methodologies across rounds
         # (single-dispatch minus a fixed 28 ms through round 3).
         "serving_device_ms_per_step_sustained": dt_dev * 1e3,
+        "hmm_particle_steps_per_sec": hmm_ps,
         "kernel_verify_ok": verify_ok,
     }))
 
