@@ -104,12 +104,18 @@ def table_lookup(table, idx, *, threshold: int = 64):
     d = table.shape[0]
     if d > threshold:
         return table[idx]
+    # Match `table[idx]`'s traced-index semantics exactly (one negative
+    # wrap, then clamp into range) so both routes agree for ANY index.
+    idx = jnp.clip(jnp.where(idx < 0, idx + d, idx), 0, d - 1)
     iota = jnp.arange(d, dtype=jnp.int32)
     zero = jnp.asarray(0, table.dtype)
     if table.ndim == 1:
-        return jnp.sum(jnp.where(idx[..., None] == iota, table, zero),
-                       axis=-1)
+        out = jnp.sum(jnp.where(idx[..., None] == iota, table, zero),
+                      axis=-1)
+        # jnp.sum promotes sub-32-bit int/bool accumulators; exactly one
+        # nonzero term, so the cast back is lossless.
+        return out.astype(table.dtype)
     flat = table.reshape(d, -1)
     mask = idx[..., None, None] == iota[:, None]
-    out = jnp.sum(jnp.where(mask, flat, zero), axis=-2)
+    out = jnp.sum(jnp.where(mask, flat, zero), axis=-2).astype(table.dtype)
     return out.reshape(idx.shape + table.shape[1:])

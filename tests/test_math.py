@@ -122,3 +122,24 @@ class TestTableLookup:
         out = amath.table_lookup(table, idx, threshold=0)
         np.testing.assert_array_equal(np.asarray(out),
                                       np.asarray(table[idx]))
+
+    def test_index_semantics_match_plain_gather(self):
+        """Round-5 review fix: the masked-sum path matches `table[idx]`'s
+        traced-index semantics (one negative wrap, then clamp) instead
+        of silently returning 0 for out-of-range indices."""
+        table = jnp.asarray([10.0, 20.0, 30.0])
+        idx = jnp.asarray([[-1, 5, -5, 0, 2]])
+        out = amath.table_lookup(table, idx)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(table[idx]))
+
+    def test_small_int_and_bool_dtypes_preserved(self):
+        """Round-5 review fix: jnp.sum promotes int8/bool accumulators;
+        the helper casts back, matching the d>threshold fallback."""
+        for dtype in (jnp.int8, jnp.int16, jnp.uint8, jnp.bool_):
+            table = jnp.asarray([1, 0, 1], jnp.int32).astype(dtype)
+            idx = jnp.asarray([[2, 0], [1, 1]])
+            out = amath.table_lookup(table, idx)
+            assert out.dtype == table.dtype, dtype
+            np.testing.assert_array_equal(np.asarray(out),
+                                          np.asarray(table[idx]))
