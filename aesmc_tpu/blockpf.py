@@ -212,11 +212,18 @@ def block_pf(observations,
         local_log_weight = diag_emission_local_log_weights(
             emission, blocks, obs_indices)
 
-    # Per-dimension block ownership -> the one-gather reassembly map.
-    dim_block = np.zeros((dim,), dtype=np.int32)
-    for j, b in enumerate(blocks):
-        dim_block[list(b)] = j
-    dim_block = jnp.asarray(dim_block)
+    # Reassembly plan: all dims in a block share the block's ancestors,
+    # so the mix is J per-block ROW gathers (take_along on a [B, K, |b|]
+    # slice) + one STATIC permutation - NOT a [B, K, D] per-element
+    # gather, which hands XLA D independent index columns and measured
+    # ~20x the row-gather cost at [8, 4096, 64] J=4 (round-5; the same
+    # per-element-vs-row distinction as the wide-state resampling
+    # cliff, CLAUDE.md). `inv_perm` maps block-concatenated order back
+    # to dimension order; identity for contiguous_blocks.
+    block_dims = [np.asarray(sorted(b), dtype=np.int32) for b in blocks]
+    concat_order = np.concatenate(block_dims)
+    inv_perm = np.argsort(concat_order).astype(np.int32)
+    perm_is_identity = bool(np.all(inv_perm == np.arange(dim)))
 
     resolved_impl = resampling.resolve_implementation(
         (batch_size, num_particles), resampling_method,
@@ -251,10 +258,15 @@ def block_pf(observations,
             time = _inference.TimeIndex(t)
 
             anc = sample_block_indices(prev_log_weight, keys_t[0])
-            # Reassemble: dimension d takes its block's ancestor row.
-            anc_dim = anc[dim_block]                     # [D, B, K]
-            anc_dim = jnp.transpose(anc_dim, (1, 2, 0))  # [B, K, D]
-            mixed = jnp.take_along_axis(prev_latent, anc_dim, axis=1)
+            # Reassemble: dimension d takes its block's ancestor row -
+            # as J row gathers + a static permutation (see the plan
+            # comment above).
+            parts = [jnp.take_along_axis(prev_latent[:, :, bd],
+                                         anc[j][:, :, None], axis=1)
+                     for j, bd in enumerate(block_dims)]
+            mixed = jnp.concatenate(parts, axis=-1)
+            if not perm_is_identity:
+                mixed = mixed[:, :, inv_perm]
 
             trans_dist = transition(previous_latents=[mixed], time=time)
             latent_t = state.sample(trans_dist, batch_size,
