@@ -303,11 +303,18 @@ class Categorical(Distribution):
             # a cross-lane dynamic select; the masked sum is pure
             # elementwise VPU work and bit-exact (exactly one nonzero
             # term per row). Part of the round-5 discrete/HMM-path work
-            # (VERDICT r4 #1).
+            # (VERDICT r4 #1). Out-of-range values reproduce the gather
+            # route's take_along_axis semantics exactly (one negative
+            # wrap, then NaN fill) so the two routes stay bit-identical
+            # for ANY input - an invalid category scores NaN, not a
+            # silent 0.0.
+            value = jnp.where(value < 0, value + d, value)
+            oob = (value < 0) | (value >= d)
             iota = jax.lax.broadcasted_iota(jnp.int32, log_probs.shape,
                                             log_probs.ndim - 1)
-            return jnp.sum(jnp.where(iota == value[..., None],
-                                     log_probs, 0.0), axis=-1)
+            out = jnp.sum(jnp.where(iota == value[..., None],
+                                    log_probs, 0.0), axis=-1)
+            return jnp.where(oob, jnp.nan, out)
         return jnp.take_along_axis(log_probs, value[..., None],
                                    axis=-1)[..., 0]
 

@@ -437,20 +437,8 @@ def infer(inference_algorithm: str,
     batch_size = _first_leaf(stacked_obs).shape[1]
     is_smc = inference_algorithm == "smc"
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        def _constrain(tree):
-            def leaf(x):
-                spec = PartitionSpec(
-                    data_axis, particle_axis,
-                    *([None] * (jnp.ndim(x) - 2)))
-                return jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, spec))
-            return jax.tree_util.tree_map(leaf, tree)
-    else:
-        def _constrain(tree):
-            return tree
+    from .sharding_utils import make_cloud_constrainer
+    _constrain = make_cloud_constrainer(mesh, data_axis, particle_axis)
 
     # Two independent PRNG streams per timestep: resampling + proposal.
     # Shape-based split works for both legacy uint32 and new-style typed

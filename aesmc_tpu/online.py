@@ -316,20 +316,8 @@ def make_online_filter(initial,
         ess_threshold = float(resampling_criterion) * num_particles
     log_num_particles = _stdmath.log(num_particles)
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        def _constrain(tree):
-            def leaf(x):
-                spec = PartitionSpec(
-                    data_axis, particle_axis,
-                    *([None] * (jnp.ndim(x) - 2)))
-                return jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, spec))
-            return jax.tree_util.tree_map(leaf, tree)
-    else:
-        def _constrain(tree):
-            return tree
+    from .sharding_utils import make_cloud_constrainer
+    _constrain = make_cloud_constrainer(mesh, data_axis, particle_axis)
 
     def init_fn(observation, key):
         """Consumes y_0; mirrors the batch engine's hoisted t=0 step

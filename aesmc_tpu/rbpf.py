@@ -281,20 +281,8 @@ def rbpf(observations, initial, transition, linear_initial,
     k_shape = (batch_size, num_particles)
     log_k = _stdmath.log(num_particles)
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        def _constrain(tree):
-            def leaf(x):
-                spec = PartitionSpec(
-                    data_axis, particle_axis,
-                    *([None] * (jnp.ndim(x) - 2)))
-                return jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, spec))
-            return jax.tree_util.tree_map(leaf, tree)
-    else:
-        def _constrain(tree):
-            return tree
+    from .sharding_utils import make_cloud_constrainer
+    _constrain = make_cloud_constrainer(mesh, data_axis, particle_axis)
 
     def propose(dist_prior, dist_q, k):
         """Sample u from q (or the prior) and return (u, correction)."""

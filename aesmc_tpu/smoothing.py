@@ -557,19 +557,12 @@ def backward_simulation(original_latents, log_weights, transition,
     stacked_obs = (stack_observations(observations)
                    if observations is not None else None)
 
+    from .sharding_utils import make_cloud_constrainer
+    # [.., B, K, ...] clouds with the K axis sharded over the mesh.
+    _constrain_cloud = make_cloud_constrainer(mesh, data_axis,
+                                              particle_axis)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
-
-        def _constrain_cloud(tree, lead_dims=1):
-            # [.., B, K, ...] with the K axis sharded over the mesh.
-            def leaf(x):
-                spec = PartitionSpec(
-                    *([None] * (lead_dims - 1)), data_axis,
-                    particle_axis, *([None] * (jnp.ndim(x) - lead_dims
-                                               - 1)))
-                return jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, spec))
-            return jax.tree_util.tree_map(leaf, tree)
 
         def _constrain_chosen(tree):
             # [B, M, ...] trajectories: replicated over the particle
@@ -581,9 +574,6 @@ def backward_simulation(original_latents, log_weights, transition,
                     x, NamedSharding(mesh, spec))
             return jax.tree_util.tree_map(leaf, tree)
     else:
-        def _constrain_cloud(tree, lead_dims=1):
-            return tree
-
         def _constrain_chosen(tree):
             return tree
 
@@ -778,20 +768,8 @@ def paris(observations, initial, transition, emission, proposal,
     resolved_impl = resampling.resolve_implementation(
         (batch_size, k), resampling_method, resampling_implementation)
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        def _constrain(tree):
-            def leaf(x):
-                spec = PartitionSpec(
-                    data_axis, particle_axis,
-                    *([None] * (jnp.ndim(x) - 2)))
-                return jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, spec))
-            return jax.tree_util.tree_map(leaf, tree)
-    else:
-        def _constrain(tree):
-            return tree
+    from .sharding_utils import make_cloud_constrainer
+    _constrain = make_cloud_constrainer(mesh, data_axis, particle_axis)
 
     # ---- t = 0 (hoisted).
     proposal_dist = proposal(time=0, observations=obs_seq)

@@ -480,7 +480,11 @@ def sqmc_infer(observations,
     (`ops.resample_pallas.sorted_search_gather_pallas`; the RQMC
     queries are already sorted, exactly the kernel's contract) in one
     pass; 'auto' resolves like the engine (TPU and K >= 512; round-5,
-    VERDICT r4 #4). Bit-identical ancestors either way.
+    VERDICT r4 #4). Bit-identical ancestors either way. K > 2^21
+    exceeds the kernel's f32-exact position range, so an explicit
+    'pallas' falls back to the XLA route WITH a UserWarning; engine
+    resampler callables are not meaningful here (the scheme is fixed)
+    and raise.
 
     Returns the `infer` dict: log_marginal_likelihood [B], latents
     (lineage-traced), original_latents, log_weight [B, K],
@@ -523,11 +527,23 @@ def sqmc_infer(observations,
         searchsorted_rows = jax.vmap(
             partial(jnp.searchsorted, side="right"))
         from . import resampling as _resampling
+        if callable(resampling_implementation):
+            raise ValueError(
+                "sqmc_infer's resampling scheme is the fixed Hilbert "
+                "inverse-CDF; engine resampler callables do not apply. "
+                "Use resampling_implementation='auto'|'xla'|'pallas'.")
         resolved_impl = _resampling.resolve_implementation(
             (batch_size, num_particles), "systematic",
             resampling_implementation)
         use_pallas = (resolved_impl == "pallas"
                       and num_particles <= (1 << 21))
+        if resampling_implementation == "pallas" and not use_pallas:
+            import warnings
+            warnings.warn(
+                f"sqmc_infer: K={num_particles} > 2^21 exceeds the "
+                "fused kernel's f32-exact position range; falling back "
+                "to the XLA inverse-CDF route.", UserWarning,
+                stacklevel=2)
         if use_pallas:
             from .ops import resample_pallas as _ops
 
@@ -551,9 +567,14 @@ def sqmc_infer(observations,
             if use_pallas:
                 # Fused search + sigma gather: the sorted RQMC queries
                 # are exactly the window kernel's position contract
-                # (sigma < K <= 2^21 is f32-exact).
+                # (sigma < K <= 2^21 is f32-exact). emit_idx=False:
+                # only the gathered sigma column is consumed, so skip
+                # the kernel's index-emission cross-lane work (the same
+                # skip that took the adaptive-ESS engine path 297->401M
+                # ps/s, BENCH_NOTES).
                 _, (anc_f,) = _ops.sorted_search_gather_pallas(
-                    cdf, u_first, [sigma.astype(jnp.float32)])
+                    cdf, u_first, [sigma.astype(jnp.float32)],
+                    emit_idx=False)
                 ancestral_index = anc_f.astype(jnp.int32)
             else:
                 pos = jnp.clip(searchsorted_rows(cdf, u_first), 0,

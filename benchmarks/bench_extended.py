@@ -213,16 +213,6 @@ def wave():
     def log_lik(x):
         return -0.5 * jnp.sum((y - x) ** 2) / 0.5
 
-    x0 = jax.random.normal(key, (K, DIM))
-
-    def run_sampler(k, waste_free):
-        out = samplers.smc_sampler(
-            log_prior, log_lik, x0, key=k, num_moves=2, step_size=0.4,
-            waste_free_chains=512 if waste_free else None,
-            resampling_method="multinomial" if waste_free
-            else "systematic")
-        return out["log_normalizer"], out["num_steps"]
-
     # Round-5 (VERDICT r4 weak #2): the heavyweights now use the SAME
     # chained harness as everything else - the old min-of-3 single
     # calls swallowed the ~28 ms relay fetch (>50% of a 25 ms row).

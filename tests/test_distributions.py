@@ -225,3 +225,27 @@ class TestTransformedDistribution:
         d = dists.TransformedDistribution(
             dists.Categorical.from_probs(jnp.asarray([0.5, 0.5])), "exp")
         assert not d.has_rsample
+
+
+class TestCategoricalLookupRouteParity:
+    """Round-5 review fix: the d<=64 one-hot log_prob route must match
+    the take_along gather route (AESMC_HMM_INDEX_GATHER=1) bit-for-bit
+    for ANY value, including out-of-range: one negative wrap, then NaN
+    fill (an invalid category scores NaN, never a silent 0.0)."""
+
+    def test_out_of_range_matches_gather_route(self, monkeypatch):
+        logits = jnp.log(jnp.asarray([0.2, 0.3, 0.5]))
+        values = jnp.asarray([[-4, -1, 0, 2, 3, 5]])
+
+        def run():
+            d = dists.Categorical(logits)
+            return np.asarray(d.log_prob(values))
+
+        out_onehot = run()
+        monkeypatch.setenv("AESMC_HMM_INDEX_GATHER", "1")
+        out_gather = run()
+        np.testing.assert_array_equal(out_onehot, out_gather)
+        # -1 wraps to the last category; -4, 3, 5 are NaN.
+        assert np.isnan(out_onehot[0, [0, 4, 5]]).all()
+        np.testing.assert_allclose(out_onehot[0, 1], np.log(0.5),
+                                   rtol=1e-6)
