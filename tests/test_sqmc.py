@@ -398,3 +398,39 @@ class TestPallasRoute:
             np.asarray(out_p["log_marginal_likelihood"]),
             np.asarray(out_x["log_marginal_likelihood"]), rtol=0,
             atol=0)
+
+
+class TestImplementationGuards:
+    """Round-5 review fixes: no silent downgrades of an explicit
+    resampling_implementation."""
+
+    def _setup(self):
+        import numpy as np
+        from aesmc_tpu import statistics
+        from aesmc_tpu.models import lgssm
+        comps = (lgssm.Initial(0.0, 1.0),
+                 lgssm.Transition.create(0.9, 1.0),
+                 lgssm.Emission.create(1.0, 0.5),
+                 lgssm.Proposal.create(1.0, 1.0, jax.random.PRNGKey(0)))
+        _, obs = statistics.sample_from_prior(
+            comps[0], comps[1], comps[2], 4, 1,
+            key=jax.random.PRNGKey(1))
+        return comps, obs
+
+    def test_callable_implementation_raises(self):
+        comps, obs = self._setup()
+        with pytest.raises(ValueError, match="Hilbert inverse-CDF"):
+            sqmc.sqmc_infer(obs, *comps, 64, key=jax.random.PRNGKey(2),
+                            resampling_implementation=lambda *a: None)
+
+    def test_large_k_pallas_fallback_warns(self):
+        """K > 2^21 with explicit 'pallas' warns and still runs (the
+        XLA route). Uses a tiny T so the big-K run stays cheap."""
+        comps, obs = self._setup()
+        with pytest.warns(UserWarning, match="2\\^21"):
+            out = sqmc.sqmc_infer(
+                obs, *comps, (1 << 21) + 128, key=jax.random.PRNGKey(2),
+                resampling_implementation="pallas",
+                return_log_marginal_likelihood=True,
+                return_latents=False)
+        assert bool(jnp.isfinite(out["log_marginal_likelihood"]).all())
